@@ -1,0 +1,202 @@
+"""Engine settings: typed parameter groups with YAML round-trip.
+
+Capability parity with the reference's GlobalSettings singleton
+(renderer/core/GlobalSettings.h:10-386 — 8 typed param structs, reflection
+lists for the dev UI, YAML load/save of data/settings/global_settings.yaml).
+
+Here each group is a frozen dataclass; `Settings` aggregates them.  Fields are
+plain Python floats/ints/bools (static under jit — changing a value recompiles,
+which matches how these are used: config, not per-frame state).  Per-frame
+dynamic values (camera, time of day, exposure state…) live in render state
+pytrees instead.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields
+from typing import Any
+
+import yaml
+
+
+@dataclass(frozen=True)
+class RenderingSettings:
+    # GlobalSettings.h RenderingParams; bounce limits per RayGen.cu:146-147.
+    total_bounce_limit: int = 3
+    diffuse_bounce_limit: int = 1
+    local_light_candidates: int = 8     # RIS candidates, closesthit.cu:330-343
+    max_trace_steps: int = 96           # DDA column-step cap
+    target_fps: float = 60.0
+    dynamic_resolution: bool = True
+    min_render_scale: float = 0.5
+    render_width: int = 1920
+    render_height: int = 1080
+    use_restir: bool = True
+    restir_m_cap: int = 20              # closesthit.cu M-cap 20
+    restir_temporal_samples: int = 3
+
+
+@dataclass(frozen=True)
+class DenoisingSettings:
+    # GlobalSettings.h:82-141 DenoisingParams.
+    enabled: bool = True
+    firefly_filter: bool = True
+    hit_dist_reconstruction: bool = False
+    pre_pass: bool = False
+    temporal_accumulation: bool = True
+    max_accumulated_frames: int = 30    # slow history
+    max_fast_accumulated_frames: int = 6
+    history_fix: bool = True
+    history_clamping: bool = True
+    atrous_iterations: int = 4
+    phi_luminance: float = 2.0
+    phi_normal: float = 64.0
+    phi_depth: float = 0.05
+    disocclusion_threshold: float = 0.01
+
+
+@dataclass(frozen=True)
+class ToneMappingSettings:
+    # GlobalSettings.h:145-186 ToneMappingParams.
+    curve: str = "aces"                 # aces | uncharted2 | reinhard | none
+    exposure_compensation: float = 0.0
+    lift: float = 0.0
+    gain: float = 1.0
+    contrast: float = 1.0
+    saturation: float = 1.0
+    white_point: float = 11.2
+
+
+@dataclass(frozen=True)
+class PostProcessingSettings:
+    # PostProcessingPipeline.cu pipeline toggles.
+    auto_exposure: bool = True
+    exposure_min_log: float = -8.0
+    exposure_max_log: float = 8.0
+    exposure_low_percentile: float = 0.6
+    exposure_high_percentile: float = 0.95
+    exposure_adapt_speed: float = 2.0
+    bloom: bool = True
+    bloom_intensity: float = 0.08
+    bloom_threshold: float = 1.2
+    lens_flare: bool = False
+    lens_flare_intensity: float = 0.05
+    vignette: bool = True
+    vignette_strength: float = 0.25
+    sharpen: bool = True
+    sharpen_strength: float = 0.35
+    upscale: str = "easu"               # easu | bicubic | none
+    crosshair: bool = False
+
+
+@dataclass(frozen=True)
+class SkySettings:
+    # GlobalSettings.h SkyParams + Sky.cu time-of-day driving.
+    time_of_day: float = 10.0           # hours
+    sun_axis_angle: float = 35.0        # degrees, sun rotation axis tilt
+    turbidity: float = 2.5
+    ground_albedo: float = 0.3
+    sun_angular_diameter: float = 0.51  # degrees, miss.cu:41-77
+    sky_intensity: float = 1.0
+    sun_intensity: float = 1.0
+    sky_res_w: int = 256                # equal-area env map (pdf/sampling aid)
+    sky_res_h: int = 128
+
+
+@dataclass(frozen=True)
+class CharacterMovementSettings:
+    walk_speed: float = 2.0
+    run_speed: float = 4.5
+    jump_velocity: float = 5.2
+    gravity: float = 14.0
+    eye_height: float = 1.62
+    body_radius: float = 0.35
+    body_height: float = 1.8
+    yaw_smooth: float = 12.0
+
+
+@dataclass(frozen=True)
+class CharacterAnimationSettings:
+    blend_time: float = 0.15
+    walk_cycle_scale: float = 1.0
+    additive_place_block: bool = True
+
+
+@dataclass(frozen=True)
+class CameraMovementSettings:
+    fly_speed: float = 8.0
+    mouse_sensitivity: float = 0.0025
+    fov_y_degrees: float = 60.0
+    follow_distance: float = 4.0
+    follow_stiffness: float = 8.0
+
+
+_GROUPS = {
+    "rendering": RenderingSettings,
+    "denoising": DenoisingSettings,
+    "tone_mapping": ToneMappingSettings,
+    "post_processing": PostProcessingSettings,
+    "sky": SkySettings,
+    "character_movement": CharacterMovementSettings,
+    "character_animation": CharacterAnimationSettings,
+    "camera_movement": CameraMovementSettings,
+}
+
+
+@dataclass(frozen=True)
+class Settings:
+    rendering: RenderingSettings = field(default_factory=RenderingSettings)
+    denoising: DenoisingSettings = field(default_factory=DenoisingSettings)
+    tone_mapping: ToneMappingSettings = field(default_factory=ToneMappingSettings)
+    post_processing: PostProcessingSettings = field(default_factory=PostProcessingSettings)
+    sky: SkySettings = field(default_factory=SkySettings)
+    character_movement: CharacterMovementSettings = field(default_factory=CharacterMovementSettings)
+    character_animation: CharacterAnimationSettings = field(default_factory=CharacterAnimationSettings)
+    camera_movement: CameraMovementSettings = field(default_factory=CameraMovementSettings)
+
+    # ---- YAML round-trip (GlobalSettings.h:355-356 equivalent) ----
+
+    def to_dict(self) -> dict:
+        return {k: dataclasses.asdict(getattr(self, k)) for k in _GROUPS}
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Settings":
+        kwargs = {}
+        for key, group_cls in _GROUPS.items():
+            src = d.get(key, {}) or {}
+            valid = {f.name for f in fields(group_cls)}
+            unknown = set(src) - valid
+            if unknown:
+                raise ValueError(f"unknown settings in group '{key}': {sorted(unknown)}")
+            kwargs[key] = group_cls(**src)
+        return cls(**kwargs)
+
+    @classmethod
+    def load(cls, path: str) -> "Settings":
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f) or {})
+
+    def replace(self, **group_updates: Any) -> "Settings":
+        """Functional update: settings.replace(rendering={'render_width': 1280})."""
+        kwargs = {}
+        for key, upd in group_updates.items():
+            group = getattr(self, key)
+            if isinstance(upd, dict):
+                kwargs[key] = dataclasses.replace(group, **upd)
+            else:
+                kwargs[key] = upd
+        return dataclasses.replace(self, **kwargs)
+
+    def value_list(self):
+        """Flat (group.field, value) pairs — the reflection list the dev
+        overlay renders (DeveloperGUIOverlay.cpp:33-90 equivalent)."""
+        out = []
+        for key in _GROUPS:
+            group = getattr(self, key)
+            for f in fields(group):
+                out.append((f"{key}.{f.name}", getattr(group, f.name)))
+        return out

@@ -1,0 +1,87 @@
+"""TPU-friendly small-table gathers.
+
+TPU has no general fast gather: `jnp.take` from large tables lowers to a slow
+serial path (measured ~15 ms per chained 2M-index gather on v5e), which would
+make a ray-marcher unusable.  What Mosaic/Pallas *does* support at VPU speed is
+`jnp.take_along_axis(operand, idx, axis=-1)` where operand and idx have the
+same (sublane, lane) shape — a per-lane dynamic shuffle across 128 lanes
+(~10 µs per 2M indices on v5e).
+
+We build every dynamic lookup in the engine out of that primitive:
+
+* `lane_gather(row, idx)`   — 128-entry table, one shuffle.
+* `table_gather(table, idx)`— N·128-entry table, N shuffles + selects
+                              (N=32 for the 64×64 world-column table ≈ 0.35 ms
+                              per 2M rays; used once per DDA step / hit).
+
+Both work identically inside Pallas kernels and in plain XLA (tests run them
+on CPU), so every kernel has a pure-XLA reference twin.
+
+Replaces the role of CUDA's native gathers in the reference (e.g. voxel reads
+in voxelengine/VoxelSceneGen.cu and texture/light fetches in
+renderer/shaders/*.cu).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+LANES = 128
+
+
+def lane_gather(row, idx):
+    """Gather from a table of exactly 128 entries.
+
+    row:  (128,) table.
+    idx:  (..., 128) int32 indices in [0, 128), last dim is the lane dim.
+    returns values row[idx] with idx's shape.
+    """
+    return jnp.take_along_axis(jnp.broadcast_to(row, idx.shape), idx, axis=-1)
+
+
+def table_gather(table2d, idx):
+    """Gather from a table of R*128 entries laid out as (R, 128).
+
+    table2d: (R, 128) — entry k lives at (k // 128, k % 128).
+    idx:     (..., 128) int32 flat indices in [0, R*128).
+    Cost: R lane shuffles + R selects; keep R small (≤32 for per-step use).
+    """
+    rows = table2d.shape[0]
+    hi = jnp.right_shift(idx, 7)
+    lo = jnp.bitwise_and(idx, LANES - 1)
+    acc = jnp.zeros(idx.shape, table2d.dtype)
+    for h in range(rows):
+        g = lane_gather(table2d[h, :], lo)
+        acc = jnp.where(hi == h, g, acc)
+    return acc
+
+
+def table_gather_multi(tables, idx):
+    """Gather the same flat index from several (R, 128) tables at once.
+
+    Shares the hi/lo decomposition and the per-row select masks across tables
+    (the lane shuffles still run per table). Returns a tuple of results.
+    """
+    rows = tables[0].shape[0]
+    for t in tables:
+        assert t.shape[0] == rows and t.shape[1] == LANES
+    hi = jnp.right_shift(idx, 7)
+    lo = jnp.bitwise_and(idx, LANES - 1)
+    accs = [jnp.zeros(idx.shape, t.dtype) for t in tables]
+    for h in range(rows):
+        m = hi == h
+        for i, t in enumerate(tables):
+            accs[i] = jnp.where(m, lane_gather(t[h, :], lo), accs[i])
+    return tuple(accs)
+
+
+def pad_table(flat, dtype=None):
+    """Pad a 1-D table to a multiple of 128 and reshape to (R, 128)."""
+    flat = jnp.asarray(flat)
+    if dtype is not None:
+        flat = flat.astype(dtype)
+    n = flat.shape[0]
+    r = (n + LANES - 1) // LANES
+    pad = r * LANES - n
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    return flat.reshape(r, LANES)

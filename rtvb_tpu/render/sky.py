@@ -1,0 +1,189 @@
+"""Analytic daylight sky + sun model.
+
+Capability parity with the reference's spectral sky stack (renderer/sky/
+Sky.{h,cu} + SkyData.h — Hosek–Wilkie-style fitted model, sun disk with limb
+darkening, time-of-day sun rotation about a tilted axis).  Rather than porting
+the reference's 2541-line fitted coefficient tables, this implements the
+published Preetham et al. 1999 analytic daylight model ("A Practical Analytic
+Model for Daylight"): zenith chromaticity polynomials + Perez luminance
+distribution — ~60 flops per direction, which on TPU beats a 512K-texel
+texture lookup by orders of magnitude (gathers are the scarce resource, VPU
+math is free).  The equal-area environment map + pdf of the reference
+(Sky.cu:355-396) is still built for light-sampling parity tests, but the path
+tracer evaluates the sky *analytically per ray*.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.config import SkySettings
+from ..ops import mathutil as m
+
+# Calibration from Preetham's kcd/m² to engine radiance units (exposure
+# normalizes absolute scale; this keeps typical sky values O(1)).
+SKY_RADIANCE_SCALE = 0.035
+SUN_RADIANCE_SCALE = 120.0
+
+
+class SkyState(NamedTuple):
+    """Per-frame sky parameters (pytree) — recomputed when time/turbidity change."""
+    sun_dir: tuple          # unit vector toward the sun
+    turbidity: jnp.ndarray
+    sky_intensity: jnp.ndarray
+    sun_intensity: jnp.ndarray
+    cos_sun_radius: jnp.ndarray   # cos of sun disk angular radius
+
+
+def sun_direction(time_of_day, axis_angle_deg):
+    """Sun path: east → zenith → west rotated about x by the axis tilt
+    (Sky.cu:363-369 time-of-day rotation equivalent)."""
+    h = (time_of_day / 24.0) * 2.0 * jnp.pi
+    c = jnp.cos(h - jnp.pi * 0.5)
+    s = jnp.sin(h - jnp.pi * 0.5)
+    a = jnp.deg2rad(axis_angle_deg)
+    # base circle in xy plane, tilted about x axis
+    return m.normalize((c, s * jnp.cos(a), s * jnp.sin(a)))
+
+
+def make_sky_state(s: SkySettings) -> SkyState:
+    f32 = jnp.float32
+    return SkyState(
+        sun_dir=sun_direction(f32(s.time_of_day), f32(s.sun_axis_angle)),
+        turbidity=f32(s.turbidity),
+        sky_intensity=f32(s.sky_intensity),
+        sun_intensity=f32(s.sun_intensity),
+        cos_sun_radius=jnp.cos(jnp.deg2rad(f32(s.sun_angular_diameter) * 0.5)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Preetham model
+# ---------------------------------------------------------------------------
+
+def _perez(theta_cos, gamma, gamma_cos, A, B, C, D, E):
+    theta_cos = jnp.maximum(theta_cos, 0.01)
+    return ((1.0 + A * jnp.exp(B / theta_cos))
+            * (1.0 + C * jnp.exp(D * gamma) + E * gamma_cos * gamma_cos))
+
+
+def _zenith_chroma(T, ts):
+    t2, t3 = ts * ts, ts * ts * ts
+    xz = ((0.00166 * t3 - 0.00375 * t2 + 0.00209 * ts) * T * T
+          + (-0.02903 * t3 + 0.06377 * t2 - 0.03202 * ts + 0.00394) * T
+          + (0.11693 * t3 - 0.21196 * t2 + 0.06052 * ts + 0.25886))
+    yz = ((0.00275 * t3 - 0.00610 * t2 + 0.00317 * ts) * T * T
+          + (-0.04214 * t3 + 0.08970 * t2 - 0.04153 * ts + 0.00516) * T
+          + (0.15346 * t3 - 0.26756 * t2 + 0.06670 * ts + 0.26688))
+    return xz, yz
+
+
+def _xyY_to_rgb(x, y, Y):
+    Yy = Y / jnp.maximum(y, 1e-5)
+    X = x * Yy
+    Z = (1.0 - x - y) * Yy
+    r = 3.2406 * X - 1.5372 * Y - 0.4986 * Z
+    g = -0.9689 * X + 1.8758 * Y + 0.0415 * Z
+    b = 0.0557 * X - 0.2040 * Y + 1.0570 * Z
+    return (jnp.maximum(r, 0.0), jnp.maximum(g, 0.0), jnp.maximum(b, 0.0))
+
+
+def sky_radiance(d, sky: SkyState):
+    """Linear RGB sky radiance for unit directions d (SoA).  Below-horizon
+    directions return a dim ground-haze color (the path tracer only asks for
+    downward sky when rays escape below the world)."""
+    T = sky.turbidity
+    sd = sky.sun_dir
+
+    # sun zenith angle (clamped just above horizon; twilight handled by fade)
+    cos_ts = jnp.clip(sd[1], 0.02, 1.0)
+    ts = jnp.arccos(cos_ts)
+
+    cos_theta = jnp.clip(d[1], 0.0, 1.0)
+    cos_gamma = jnp.clip(m.dot(d, sd), -1.0, 1.0)
+    gamma = jnp.arccos(cos_gamma)
+
+    # zenith values
+    chi = (4.0 / 9.0 - T / 120.0) * (jnp.pi - 2.0 * ts)
+    Yz = (4.0453 * T - 4.9710) * jnp.tan(chi) - 0.2155 * T + 2.4192   # kcd/m²
+    xz, yz = _zenith_chroma(T, ts)
+
+    # Perez coefficients (Preetham table)
+    AY, BY = 0.1787 * T - 1.4630, -0.3554 * T + 0.4275
+    CY, DY, EY = -0.0227 * T + 5.3251, 0.1206 * T - 2.5771, -0.0670 * T + 0.3703
+    Ax, Bx = -0.0193 * T - 0.2592, -0.0665 * T + 0.0008
+    Cx, Dx, Ex = -0.0004 * T + 0.2125, -0.0641 * T - 0.8989, -0.0033 * T + 0.0452
+    Ay, By = -0.0167 * T - 0.2608, -0.0950 * T + 0.0092
+    Cy, Dy, Ey = -0.0079 * T + 0.2102, -0.0441 * T - 1.6537, -0.0109 * T + 0.0529
+
+    def ratio(A, B, C, D, E):
+        num = _perez(cos_theta, gamma, cos_gamma, A, B, C, D, E)
+        den = _perez(jnp.float32(1.0), ts, cos_ts, A, B, C, D, E)
+        return num / jnp.maximum(den, 1e-6)
+
+    Y = Yz * ratio(AY, BY, CY, DY, EY)
+    x = xz * ratio(Ax, Bx, Cx, Dx, Ex)
+    y = yz * ratio(Ay, By, Cy, Dy, Ey)
+
+    r, g, b = _xyY_to_rgb(x, y, Y)
+
+    # twilight fade when the sun is below ~horizon
+    fade = jnp.clip((sd[1] + 0.1) * 8.0, 0.0, 1.0)
+    scale = SKY_RADIANCE_SCALE * sky.sky_intensity * fade
+
+    # below-horizon haze: reuse horizon color, dimmed
+    horizon_dim = jnp.where(d[1] < 0.0, 0.35, 1.0)
+    return (r * scale * horizon_dim, g * scale * horizon_dim, b * scale * horizon_dim)
+
+
+def sun_radiance(d, sky: SkyState):
+    """Sun disk radiance with limb darkening (miss.cu:41-77, SkySun kernel
+    equivalent). Zero outside the disk."""
+    cos_g = m.dot(d, sky.sun_dir)
+    in_disk = cos_g > sky.cos_sun_radius
+    # limb darkening: u in [0,1] from disk center to rim
+    denom = jnp.maximum(1.0 - sky.cos_sun_radius, 1e-9)
+    rim = jnp.clip((1.0 - cos_g) / denom, 0.0, 1.0)
+    mu = jnp.sqrt(jnp.maximum(0.0, 1.0 - rim * rim))
+    limb = 0.4 + 0.6 * mu
+    # sun color warms as it approaches the horizon
+    elev = jnp.clip(sky.sun_dir[1], 0.0, 1.0)
+    warm_r = 1.0
+    warm_g = 0.75 + 0.23 * jnp.sqrt(elev)
+    warm_b = 0.52 + 0.44 * jnp.sqrt(elev)
+    vis = jnp.clip((sky.sun_dir[1] + 0.05) * 12.0, 0.0, 1.0)
+    base = SUN_RADIANCE_SCALE * sky.sun_intensity * limb * vis
+    s = jnp.where(in_disk, base, 0.0)
+    return (s * warm_r, s * warm_g, s * warm_b)
+
+
+def sky_plus_sun(d, sky: SkyState):
+    a = sky_radiance(d, sky)
+    b = sun_radiance(d, sky)
+    return m.add(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Equal-area environment map + pdf (Sky.cu:355-396 parity; used for light
+# sampling diagnostics/tests, not by the hot path)
+# ---------------------------------------------------------------------------
+
+def equal_area_dirs(w: int, h: int):
+    """Directions for an equal-area (lambert cylindrical) upper-hemisphere map."""
+    u = (jnp.arange(w, dtype=jnp.float32)[None, :] + 0.5) / w
+    v = (jnp.arange(h, dtype=jnp.float32)[:, None] + 0.5) / h
+    phi = 2.0 * jnp.pi * u
+    cos_t = jnp.broadcast_to(1.0 - v, (h, w))          # v=0 → zenith
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    d = (sin_t * jnp.cos(phi + 0 * cos_t), cos_t, sin_t * jnp.sin(phi + 0 * cos_t))
+    return d
+
+
+def build_sky_map(sky: SkyState, w: int, h: int):
+    """(h, w, 3) radiance map + luminance pdf (normalized)."""
+    d = equal_area_dirs(w, h)
+    r, g, b = sky_radiance(d, sky)
+    lum = m.luminance(r, g, b)
+    pdf = lum / jnp.maximum(lum.sum(), 1e-9)
+    return jnp.stack([r, g, b], axis=-1), pdf
