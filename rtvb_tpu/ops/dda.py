@@ -28,8 +28,8 @@ import jax.numpy as jnp
 
 from .gatherlib import lane_gather  # noqa: F401 (Pallas kernels pass it as row_gather)
 
-BIG = jnp.float32(1e30)
-EPS = jnp.float32(1e-6)
+BIG = 1e30   # plain floats: jnp scalars would be captured as pallas constants
+EPS = 1e-6
 
 
 class TraceParams(NamedTuple):
@@ -89,12 +89,14 @@ def _range_mask(ylo, yhi):
 
 
 def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = False,
-          gather=None, row_gather=None):
+          gather=None, row_gather=None, maxh_row=None):
     """Trace rays against the voxel world.
 
     o, d:       SoA ray origins / unit directions, any common shape S.
     colmask2d:  (R, 128) uint32 column occupancy table.
     df_row:     (128,) int32 supercolumn Chebyshev distance field.
+    maxh_row:   (128,) int32 supercolumn max-height envelope (y+1); rays above
+                it skip whole supercells. None disables the skip.
     t_cap:      optional f32 max distance per ray (shadow rays).
     any_hit:    stop at first intersection without resolving hit details.
     gather:     gather(table2d, flat_idx) — defaults to jnp.take (XLA path).
@@ -170,13 +172,15 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
         (tyi >= txi) & (tyi >= tzi), 1, jnp.where(txi >= tzi, 0, 2)
     ).astype(jnp.int32)
 
+    # NOTE: alive/hit are carried as int32 masks, not bools — Mosaic's layout
+    # inference chokes on i1 vectors in scf.while carries (observed on v5e).
     state = dict(
         t=t, ix=ix, iz=iz, tmax_x=tmax_x, tmax_z=tmax_z,
         # last_axis: axis of the face through which the current column was
         # entered (0 = x, 1 = y [first segment only], 2 = z)
         last_axis=enter_axis,
-        alive=~miss_from_start,
-        hit=jnp.zeros(shape, bool),
+        alive=(~miss_from_start).astype(jnp.int32),
+        hit=jnp.zeros(shape, jnp.int32),
         hit_t=jnp.full(shape, BIG),
         hit_ix=zero_i32, hit_iy=zero_i32, hit_iz=zero_i32,
         hit_axis=zero_i32,   # 0=x, 1=y, 2=z
@@ -184,10 +188,11 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
     )
 
     def cond(s):
-        return (s["step"] < p.max_steps) & jnp.any(s["alive"])
+        return (s["step"] < p.max_steps) & jnp.any(s["alive"] != 0)
 
     def body(s):
-        alive = s["alive"]
+        alive = s["alive"] != 0
+        prev_hit = s["hit"] != 0
         t0 = s["t"]
         t1 = jnp.minimum(jnp.minimum(s["tmax_x"], s["tmax_z"]), t_exit)
 
@@ -215,13 +220,9 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
         y_face = ty_enter > t0
         axis = jnp.where(y_face, 1, s["last_axis"])
 
-        new_hit = got & ~s["hit"]
-        if any_hit:
-            s_hit = s["hit"] | got
-            s_hit_t = jnp.where(new_hit, t_hit, s["hit_t"])
-        else:
-            s_hit = s["hit"] | got
-            s_hit_t = jnp.where(new_hit, t_hit, s["hit_t"])
+        new_hit = got & ~prev_hit
+        s_hit = prev_hit | got
+        s_hit_t = jnp.where(new_hit, t_hit, s["hit_t"])
 
         # --- advance the non-hit lanes to the next column ---
         take_x = s["tmax_x"] < s["tmax_z"]
@@ -232,13 +233,35 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
         ntmz = jnp.where(take_x, s["tmax_z"], s["tmax_z"] + tdelta_z)
         nlast = jnp.where(take_x, 0, 2)
 
-        # --- supercolumn distance-field jump (only from fully empty columns) ---
-        sidx = (nix >> _log2(ss)) * p.super_z + (niz >> _log2(ss))
-        sidx = jnp.clip(sidx, 0, 127)
+        # --- supercolumn empty-space skipping ---
+        sl = _log2(ss)
+        scx = nix >> sl
+        scz = niz >> sl
+        sidx = jnp.clip(scx * p.super_z + scz, 0, 127)
+
+        # (a) height-envelope skip: if the ray at t_next is above everything
+        # in the next supercell, advance to the cell's xz exit (descending
+        # rays additionally stop where they meet the envelope)
+        jt = t_next
+        if maxh_row is not None:
+            maxh = row_gather(maxh_row, sidx).astype(f32)
+            y_next = oy + dy * t_next
+            above = y_next >= maxh + EPS
+            t_cx = (((scx + (step_x > 0)) << sl).astype(f32) - ox) * inv_dx
+            t_cz = (((scz + (step_z > 0)) << sl).astype(f32) - oz) * inv_dz
+            t_cell = jnp.minimum(t_cx, t_cz)
+            t_env = jnp.where(dy < -EPS, (maxh - oy) * inv_dy, BIG)
+            t_skip = jnp.minimum(t_cell, t_env)
+            jt = jnp.where(above, jnp.maximum(jt, t_skip), jt)
+
+        # (b) Chebyshev-DF jump through fully empty columns (caves/air shafts)
         df = row_gather(df_row, sidx)
-        can_jump = (word == 0) & (df >= 2) & (max_d > EPS)
-        jump_t = t_next + ((df - 1) * ss).astype(f32) / jnp.maximum(max_d, EPS)
-        jt = jnp.where(can_jump, jnp.minimum(jump_t, t_exit), t_next)
+        t_df = t_next + ((df - 1) * ss).astype(f32) / jnp.maximum(max_d, EPS)
+        jt = jnp.where((word == 0) & (df >= 2) & (max_d > EPS),
+                       jnp.maximum(jt, t_df), jt)
+
+        can_jump = jt > t_next + EPS
+        jt = jnp.minimum(jt + EPS, t_exit)
         # re-derive DDA state at the jump point
         jpx = ox + dx * jt
         jpz = oz + dz * jt
@@ -264,8 +287,8 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
             tmax_x=jnp.where(upd, ntmx, s["tmax_x"]),
             tmax_z=jnp.where(upd, ntmz, s["tmax_z"]),
             last_axis=jnp.where(upd, nlast, s["last_axis"]),
-            alive=alive & ~done,
-            hit=s_hit,
+            alive=(alive & ~done).astype(jnp.int32),
+            hit=s_hit.astype(jnp.int32),
             hit_t=s_hit_t,
             hit_ix=jnp.where(new_hit, s["ix"], s["hit_ix"]),
             hit_iy=jnp.where(new_hit, yv, s["hit_iy"]),
@@ -277,12 +300,13 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
     s = jax.lax.while_loop(cond, body, state)
 
     axis = s["hit_axis"]
+    hit = s["hit"] != 0
     nx = jnp.where(axis == 0, -jnp.sign(dx), 0.0)
     ny = jnp.where(axis == 1, -jnp.sign(dy), 0.0)
     nz = jnp.where(axis == 2, -jnp.sign(dz), 0.0)
     return HitRecord(
-        hit=s["hit"],
-        t=jnp.where(s["hit"], s["hit_t"], BIG),
+        hit=hit,
+        t=jnp.where(hit, s["hit_t"], BIG),
         ix=s["hit_ix"], iy=s["hit_iy"], iz=s["hit_iz"],
         nx=nx, ny=ny, nz=nz,
     )

@@ -1,0 +1,228 @@
+"""Post-processing pipeline: exposure → bloom → lens flare → vignette →
+tone map → upscale → sharpen.
+
+Capability parity with renderer/postprocessing/ (PostProcessingPipeline.cu:
+luminance histogram + percentile auto-exposure with temporal adaptation,
+bloom extract/blur/composite, lens flare, vignette; FilmicToneMapping.h:
+ACES/Uncharted2/Reinhard curves + lift/gain/contrast/saturation;
+ScalingFilter.h: FSR-EASU upscale; SharpeningFilter.h: RCAS sharpen).
+
+Everything is whole-image jnp ops — XLA fuses the elementwise chain into a
+couple of kernels; the reductions (histogram/percentile) are tiny.
+State that persists across frames (adapted exposure) travels in PostState.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..core.config import PostProcessingSettings, ToneMappingSettings
+from ..ops import mathutil as m
+
+
+class PostState(NamedTuple):
+    exposure: jnp.ndarray     # adapted log2 exposure
+
+
+def initial_post_state() -> PostState:
+    return PostState(exposure=jnp.float32(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Auto exposure (ComputeLuminanceHistogramKernel + ComputeAutoExposure)
+# ---------------------------------------------------------------------------
+
+def auto_exposure(rgb, state: PostState, cfg: PostProcessingSettings, dt):
+    lum = m.luminance(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+    log_lum = jnp.log2(jnp.maximum(lum, 1e-6))
+    lo, hi = cfg.exposure_min_log, cfg.exposure_max_log
+    nbins = 64
+    t = jnp.clip((log_lum - lo) / (hi - lo), 0.0, 1.0)
+    bins = jnp.clip((t * nbins).astype(jnp.int32), 0, nbins - 1)
+    hist = jnp.zeros((nbins,)).at[bins.reshape(-1)].add(1.0)
+    cdf = jnp.cumsum(hist) / jnp.maximum(hist.sum(), 1.0)
+    centers = lo + (jnp.arange(nbins) + 0.5) / nbins * (hi - lo)
+    in_win = (cdf >= cfg.exposure_low_percentile) & (cdf <= cfg.exposure_high_percentile)
+    w = jnp.where(in_win, hist, 0.0)
+    avg_log = jnp.sum(w * centers) / jnp.maximum(jnp.sum(w), 1.0)
+    target = -avg_log - 1.0      # map windowed average to mid grey
+    adapt = 1.0 - jnp.exp(-cfg.exposure_adapt_speed * dt)
+    new_exp = state.exposure + (target - state.exposure) * adapt
+    return new_exp
+
+
+# ---------------------------------------------------------------------------
+# Bloom (extract with firefly clamp → separable blur → additive composite)
+# ---------------------------------------------------------------------------
+
+def _box_blur(img, radius: int, axis: int):
+    acc = img
+    for r in range(1, radius + 1):
+        acc = acc + jnp.roll(img, r, axis=axis) + jnp.roll(img, -r, axis=axis)
+    return acc / (2 * radius + 1)
+
+
+def bloom(rgb, cfg: PostProcessingSettings):
+    lum = m.luminance(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+    k = jnp.maximum(lum - cfg.bloom_threshold, 0.0) / jnp.maximum(lum, 1e-6)
+    bright = rgb * k[..., None]
+    # downsample 4x, blur, upsample (cheap pyramid)
+    h, w = rgb.shape[:2]
+    h4, w4 = h // 4, w // 4
+    small = bright[: h4 * 4, : w4 * 4].reshape(h4, 4, w4, 4, 3).mean((1, 3))
+    small = _box_blur(_box_blur(small, 4, 0), 4, 1)
+    small = _box_blur(_box_blur(small, 2, 0), 2, 1)
+    up = jnp.repeat(jnp.repeat(small, 4, axis=0), 4, axis=1)
+    up = jnp.pad(up, ((0, h - h4 * 4), (0, w - w4 * 4), (0, 0)), mode="edge")
+    return rgb + cfg.bloom_intensity * up
+
+
+def lens_flare(rgb, cfg: PostProcessingSettings):
+    """Ghosts mirrored through the image center (LensFlareKernel role)."""
+    lum = m.luminance(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+    k = jnp.maximum(lum - cfg.bloom_threshold * 2.0, 0.0)
+    bright = rgb * k[..., None]
+    ghost1 = bright[::-1, ::-1]
+    h, w = rgb.shape[:2]
+    g2 = bright[::2, ::2]
+    ghost2 = jnp.zeros_like(rgb).at[h // 4: h // 4 + g2.shape[0],
+                                    w // 4: w // 4 + g2.shape[1]].set(g2)
+    return rgb + cfg.lens_flare_intensity * (0.6 * ghost1 + 0.4 * ghost2)
+
+
+def vignette(rgb, cfg: PostProcessingSettings):
+    h, w = rgb.shape[:2]
+    y = (jnp.arange(h) / h - 0.5)[:, None] * 2.0
+    x = (jnp.arange(w) / w - 0.5)[None, :] * 2.0
+    r2 = x * x + y * y
+    fall = 1.0 - cfg.vignette_strength * jnp.clip(r2 * 0.7, 0.0, 1.0)
+    return rgb * fall[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Tone mapping (FilmicToneMapping.h curves + grading)
+# ---------------------------------------------------------------------------
+
+def _aces(x):
+    # Narkowicz ACES fit
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
+
+
+def _uncharted2(x, white):
+    def f(v):
+        A, Bc, C, D, E, F = 0.15, 0.50, 0.10, 0.20, 0.02, 0.30
+        return ((v * (A * v + C * Bc) + D * E) / (v * (A * v + Bc) + D * F)) - E / F
+    return jnp.clip(f(x) / jnp.maximum(f(jnp.float32(white)), 1e-6), 0.0, 1.0)
+
+
+def tone_map(rgb, tm: ToneMappingSettings, exposure_log2):
+    x = rgb * jnp.exp2(exposure_log2 + tm.exposure_compensation)
+    if tm.curve == "aces":
+        y = _aces(x)
+    elif tm.curve == "uncharted2":
+        y = _uncharted2(x, tm.white_point)
+    elif tm.curve == "reinhard":
+        y = jnp.clip(x / (1.0 + x), 0.0, 1.0)
+    else:
+        y = jnp.clip(x, 0.0, 1.0)
+    # grading: lift/gain/contrast/saturation
+    y = tm.lift + (tm.gain - tm.lift) * y
+    y = jnp.clip(0.5 + (y - 0.5) * tm.contrast, 0.0, 1.0)
+    grey = m.luminance(y[..., 0], y[..., 1], y[..., 2])[..., None]
+    y = jnp.clip(grey + (y - grey) * tm.saturation, 0.0, 1.0)
+    # sRGB encode
+    return jnp.where(y <= 0.0031308, 12.92 * y, 1.055 * jnp.power(y, 1 / 2.4) - 0.055)
+
+
+# ---------------------------------------------------------------------------
+# Upscale (FSR-EASU role: edge-adaptive; here Catmull-Rom + RCAS sharpen)
+# ---------------------------------------------------------------------------
+
+def _catmull_rom_1d(img, out_size: int, axis: int):
+    in_size = img.shape[axis]
+    pos = (jnp.arange(out_size) + 0.5) * in_size / out_size - 0.5
+    i1 = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_size - 1)
+    f = pos - i1
+    i0 = jnp.clip(i1 - 1, 0, in_size - 1)
+    i2 = jnp.clip(i1 + 1, 0, in_size - 1)
+    i3 = jnp.clip(i1 + 2, 0, in_size - 1)
+    w0 = f * (-0.5 + f * (1.0 - 0.5 * f))
+    w1 = 1.0 + f * f * (-2.5 + 1.5 * f)
+    w2 = f * (0.5 + f * (2.0 - 1.5 * f))
+    w3 = f * f * (-0.5 + 0.5 * f)
+
+    def take(idx):
+        return jnp.take(img, idx, axis=axis)
+
+    sh = [1] * img.ndim
+    sh[axis] = out_size
+
+    def wr(w):
+        return w.reshape(sh)
+
+    return (take(i0) * wr(w0) + take(i1) * wr(w1)
+            + take(i2) * wr(w2) + take(i3) * wr(w3))
+
+
+def upscale(img, out_h: int, out_w: int):
+    """Catmull-Rom bicubic resample (BicubicFilter.h; stands in for EASU —
+    edge adaptivity handled by the sharpen pass that follows)."""
+    if img.shape[0] == out_h and img.shape[1] == out_w:
+        return img
+    t = _catmull_rom_1d(img, out_h, 0)
+    return _catmull_rom_1d(t, out_w, 1)
+
+
+def sharpen(img, strength: float):
+    """Contrast-adaptive sharpen (RCAS-style, SharpeningFilter.h:8)."""
+    up = jnp.roll(img, -1, 0)
+    dn = jnp.roll(img, 1, 0)
+    lf = jnp.roll(img, -1, 1)
+    rt = jnp.roll(img, 1, 1)
+    mn = jnp.minimum(jnp.minimum(up, dn), jnp.minimum(lf, rt))
+    mn = jnp.minimum(mn, img)
+    mx = jnp.maximum(jnp.maximum(up, dn), jnp.maximum(lf, rt))
+    mx = jnp.maximum(mx, img)
+    amp = jnp.sqrt(jnp.clip(jnp.minimum(mn, 1.0 - mx) / jnp.maximum(mx, 1e-4), 0.0, 1.0))
+    w = -amp * strength * 0.2
+    return jnp.clip((img * (1.0 + 4.0 * jnp.abs(w)) - (up + dn + lf + rt) * jnp.abs(w))
+                    / (1.0 + 4.0 * jnp.abs(w) - 4.0 * jnp.abs(w)), 0.0, 1.0)
+
+
+def draw_crosshair(img):
+    h, w = img.shape[:2]
+    cy, cx = h // 2, w // 2
+    img = img.at[cy - 6: cy + 7, cx - 1: cx + 1].set(1.0)
+    img = img.at[cy - 1: cy + 1, cx - 6: cx + 7].set(1.0)
+    return img
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline
+# ---------------------------------------------------------------------------
+
+def run(rgb_linear, state: PostState, pp: PostProcessingSettings,
+        tm: ToneMappingSettings, dt, out_h: int, out_w: int):
+    """(H, W, 3) linear HDR → (out_h, out_w, 3) display sRGB in [0,1].
+    PostProcessor::run / PostProcessingPipeline::Execute equivalent."""
+    if pp.auto_exposure:
+        exp = auto_exposure(rgb_linear, state, pp, dt)
+    else:
+        exp = state.exposure
+    x = rgb_linear
+    if pp.bloom:
+        x = bloom(x, pp)
+    if pp.lens_flare:
+        x = lens_flare(x, pp)
+    if pp.vignette:
+        x = vignette(x, pp)
+    y = tone_map(x, tm, exp)
+    if pp.upscale != "none":
+        y = upscale(y, out_h, out_w)
+    if pp.sharpen:
+        y = sharpen(y, pp.sharpen_strength)
+    if pp.crosshair:
+        y = draw_crosshair(y)
+    return y, PostState(exposure=exp)

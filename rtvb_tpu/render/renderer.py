@@ -1,0 +1,216 @@
+"""Engine: owns world + assets + camera + compiled frame functions.
+
+Parity with the reference's top-level wiring (main.cpp:16-54 init order and
+OptixRenderer/Backend frame orchestration): settings → assets → world →
+lights → sky → compiled render pipeline.  All per-frame device state lives
+in pytrees; the frame is a handful of jitted functions (path trace, denoise,
+post) with static shapes.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..assets.blocks import BlockRegistry
+from ..assets.materials import MaterialRegistry
+from ..assets.textures import TEXTURE_IDS
+from ..core.camera import Camera, make_camera
+from ..core.config import Settings
+from ..core.scene import SceneConfig
+from ..ops import dda
+from ..world import gen, lighting, voxel
+from . import pathtracer, postprocess
+from . import sky as sky_mod
+from .denoiser import DenoiserState, initial_denoiser_state, denoise
+
+
+def _trace_params(cfg: voxel.WorldConfig, max_steps: int) -> dda.TraceParams:
+    return dda.TraceParams(
+        x=cfg.x, y=cfg.y, z=cfg.z,
+        super_size=cfg.super_size, super_z=cfg.super_z,
+        max_steps=max_steps,
+    )
+
+
+class Engine:
+    def __init__(self, settings: Settings | None = None,
+                 scene: SceneConfig | None = None,
+                 width: int | None = None, height: int | None = None,
+                 backend: str = "xla"):
+        self.settings = settings or Settings()
+        self.scene = scene or SceneConfig()
+        self.width = width or self.settings.rendering.render_width
+        self.height = height or self.settings.rendering.render_height
+        self.backend = backend
+
+        # assets (main.cpp:30-34 init order)
+        self.block_registry = BlockRegistry.builtin()
+        self.material_registry = MaterialRegistry()
+        self.materials = self.material_registry.build_table(self.block_registry, TEXTURE_IDS)
+
+        # world
+        self.cfg, self.world = gen.generate_world(seed=self.scene.world_seed)
+        self.lights = lighting.build_light_table(
+            self.cfg, self.world, self.materials, self.block_registry)
+
+        # sky + camera
+        self.sky_state = sky_mod.make_sky_state(self.settings.sky)
+        self.camera = make_camera(
+            pos=self.scene.camera_pos, yaw=self.scene.camera_yaw,
+            pitch=self.scene.camera_pitch,
+            fov_y_degrees=self.settings.camera_movement.fov_y_degrees,
+            aspect=self.width / self.height)
+        self.history_camera = self.camera
+
+        self.frame_index = 0
+        self.post_state = postprocess.initial_post_state()
+        self.denoiser_state: DenoiserState | None = None
+        self.restir_state = None
+        self._light_remap = jnp.arange(self.cfg.max_exceptions, dtype=jnp.int32)
+        self._accum = None
+        self._accum_n = 0
+
+        self._tp = _trace_params(self.cfg, self.settings.rendering.max_trace_steps)
+        self._compiled: dict[Any, Any] = {}
+
+    # ------------------------------------------------------------------
+    # compiled pipelines
+    # ------------------------------------------------------------------
+
+    def _pt_fn(self):
+        use_restir = self.settings.rendering.use_restir
+        key = ("pt", self.width, self.height, use_restir)
+        if key not in self._compiled:
+            tp = self._tp
+            rs_cfg = self.settings.rendering
+            cfg = self.cfg
+            W, H = self.width, self.height
+
+            use_pallas = self.backend == "pallas" or (
+                self.backend == "auto" and jax.default_backend() == "tpu")
+            if use_pallas:
+                from ..ops import trace_kernel
+
+            def run(world, mats, lights, sky_state, cam, hist_cam, frame_idx,
+                    prev_restir, light_remap):
+                def trace_fn(o, d, t_cap=None, any_hit=False):
+                    impl = trace_kernel.trace if use_pallas else dda.trace
+                    return impl(o, d, world.colmask, world.df_super[0], tp,
+                                t_cap=t_cap, any_hit=any_hit,
+                                maxh_row=world.maxh_super[0])
+                return pathtracer.render_frame(
+                    cfg, world, mats, lights, sky_state, cam, hist_cam,
+                    frame_idx, W, H, rs_cfg, trace_fn,
+                    prev_restir=prev_restir if use_restir else None,
+                    light_remap=light_remap)
+
+            self._compiled[key] = jax.jit(run)
+        return self._compiled[key]
+
+    def _post_fn(self):
+        key = ("post", self.width, self.height)
+        if key not in self._compiled:
+            pp = self.settings.post_processing
+            tm = self.settings.tone_mapping
+            out_h, out_w = self.height, self.width
+
+            def run(rgb, state, dt):
+                return postprocess.run(rgb, state, pp, tm, dt, out_h, out_w)
+
+            self._compiled[key] = jax.jit(run)
+        return self._compiled[key]
+
+    # ------------------------------------------------------------------
+    # frame paths
+    # ------------------------------------------------------------------
+
+    def path_trace(self) -> pathtracer.GBuffers:
+        from . import restir as restir_mod
+        if self.settings.rendering.use_restir and self.restir_state is None:
+            self.restir_state = restir_mod.initial_state(self.height, self.width)
+        g, new_state = self._pt_fn()(
+            self.world, self.materials, self.lights,
+            self.sky_state, self.camera, self.history_camera,
+            self.frame_index, self.restir_state, self._light_remap)
+        if new_state is not None:
+            self.restir_state = new_state
+        self._light_remap = jnp.arange(self.cfg.max_exceptions, dtype=jnp.int32)
+        self.frame_index += 1
+        return g
+
+    def render_accumulated(self, dt: float = 1.0 / 60.0) -> np.ndarray:
+        """Offline path: accumulate radiance across calls (no denoiser),
+        then post-process. mainOffline.cpp 64-frame convergence loop body."""
+        g = self.path_trace()
+        rgb = jnp.stack([g.illum[i] * g.albedo[i] for i in range(3)], axis=-1)
+        if self._accum is None:
+            self._accum = rgb
+            self._accum_n = 1
+        else:
+            self._accum_n += 1
+            self._accum = self._accum + (rgb - self._accum) / self._accum_n
+        out, self.post_state = self._post_fn()(self._accum, self.post_state, dt)
+        return np.asarray(out)
+
+    def render_realtime(self, dt: float = 1.0 / 60.0) -> np.ndarray:
+        """Interactive path: 1 spp + denoiser + post (Backend.cpp frame loop)."""
+        g = self.path_trace()
+        if self.denoiser_state is None:
+            self.denoiser_state = initial_denoiser_state(self.height, self.width)
+        rgb, self.denoiser_state = denoise(
+            g, self.denoiser_state, self.camera, self.history_camera,
+            self.settings.denoising)
+        out, self.post_state = self._post_fn()(rgb, self.post_state, dt)
+        self.history_camera = self.camera
+        return np.asarray(out)
+
+    def reset_accumulation(self):
+        self._accum = None
+        self._accum_n = 0
+
+    # ------------------------------------------------------------------
+    # world edits (VoxelEngine::addBlock/deleteBlock path)
+    # ------------------------------------------------------------------
+
+    def set_block(self, x: int, y: int, z: int, block_id: int):
+        prev = self.world
+        self.world = voxel.set_block(self.cfg, self.world, x, y, z, block_id)
+        self.lights = lighting.build_light_table(
+            self.cfg, self.world, self.materials, self.block_registry)
+        remap = lighting.light_id_remap(prev, self.world)
+        self._light_remap = remap   # consumed by the next frame's ReSTIR
+        return remap
+
+    def delete_block(self, x: int, y: int, z: int):
+        return self.set_block(x, y, z, 0)
+
+    def pick_block(self, max_dist: float = 8.0):
+        """Camera-center DDA pick (VoxelEngine::performRayTraversal role).
+        Returns (hit, (x, y, z), (nx, ny, nz))."""
+        cam = self.camera
+        d = cam.uv_to_dir(jnp.float32(0.5), jnp.float32(0.5))
+        o = tuple(jnp.asarray(v)[None] for v in cam.pos)
+        d = tuple(jnp.asarray(v)[None] for v in d)
+        rec = dda.trace(o, d, self.world.colmask, self.world.df_super[0],
+                        self._tp, t_cap=jnp.full((1,), max_dist),
+                        maxh_row=self.world.maxh_super[0])
+        hit = bool(rec.hit[0])
+        return (hit,
+                (int(rec.ix[0]), int(rec.iy[0]), int(rec.iz[0])),
+                (float(rec.nx[0]), float(rec.ny[0]), float(rec.nz[0])))
+
+    def set_camera(self, pos=None, yaw=None, pitch=None, keep_history=False):
+        if not keep_history:
+            self.history_camera = self.camera
+        cam = self.camera
+        self.camera = make_camera(
+            pos=pos if pos is not None else (float(cam.pos_x), float(cam.pos_y), float(cam.pos_z)),
+            yaw=yaw if yaw is not None else float(cam.yaw),
+            pitch=pitch if pitch is not None else float(cam.pitch),
+            fov_y_degrees=self.settings.camera_movement.fov_y_degrees,
+            aspect=self.width / self.height)

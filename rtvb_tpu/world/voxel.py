@@ -34,6 +34,10 @@ import jax.numpy as jnp
 from ..ops.gatherlib import LANES
 
 AIR = 0
+# Empty exception-slot sentinel: larger than any real voxel key and SORTABLE
+# (the exception list stays ascending, enabling branchless binary search in
+# the shading kernel).
+EXC_EMPTY = 1 << 30
 
 
 @dataclass(frozen=True)
@@ -92,9 +96,10 @@ class VoxelWorld(NamedTuple):
     schema: jnp.ndarray      # (R, 128) int32 packed terrain bands per column
     colmask: jnp.ndarray     # (R, 128) uint32 occupancy bits per column
     exc_mask: jnp.ndarray    # (R, 128) uint32 exception bits per column
-    exc_key: jnp.ndarray     # (K,) int32 column*Y + y, -1 = empty slot
+    exc_key: jnp.ndarray     # (K,) int32 column*Y + y, ascending; EXC_EMPTY = free
     exc_id: jnp.ndarray      # (K,) int32 block id for the exception voxel
     df_super: jnp.ndarray    # (1, 128) int32 Chebyshev DF over supercolumns
+    maxh_super: jnp.ndarray  # (1, 128) int32 max occupied y+1 per supercolumn
 
 
 # ---------------------------------------------------------------------------
@@ -164,6 +169,27 @@ def build_super_df(cfg: WorldConfig, colmask_rows):
     return flat.reshape(1, LANES)
 
 
+def build_super_maxh(cfg: WorldConfig, colmask_rows):
+    """Max occupied y+1 per supercolumn — the height envelope that lets rays
+    flying above the terrain skip whole supercells (BVH-early-out analog)."""
+    ss = cfg.super_size
+    mask = colmask_rows.reshape(cfg.x, cfg.z)
+    # height of a column = index of msb + 1 = 32 - clz(mask)
+    h = jnp.zeros(mask.shape, jnp.int32)
+    b = mask
+    for shift in (16, 8, 4, 2, 1):
+        big = (b >> jnp.uint32(shift)) != 0
+        h = h + jnp.where(big, shift, 0)
+        b = jnp.where(big, b >> jnp.uint32(shift), b)
+    h = jnp.where(mask != 0, h + 1, 0)
+    hs = h.reshape(cfg.super_x, ss, cfg.super_z, ss).max(axis=(1, 3))
+    flat = hs.reshape(-1).astype(jnp.int32)
+    pad = LANES - flat.shape[0]
+    if pad:
+        flat = jnp.concatenate([flat, jnp.full((pad,), cfg.y, jnp.int32)])
+    return flat.reshape(1, LANES)
+
+
 def predicted_blocks(cfg: WorldConfig, schema_rows, colmask_rows):
     """Dense (X, Y, Z) block ids implied by schema + occupancy."""
     schema = schema_rows.reshape(cfg.x, cfg.z)
@@ -193,9 +219,11 @@ def build_tables(cfg: WorldConfig, blocks, schema_rows) -> VoxelWorld:
     score = flat_exc.astype(jnp.int32) * (n + 1) - jnp.arange(n, dtype=jnp.int32)
     _, keys = jax.lax.top_k(score, k)
     valid = jnp.take(flat_exc, keys)
-    exc_key = jnp.where(valid, keys.astype(jnp.int32), -1)
-    ids_at = jnp.take(blocks.transpose(0, 2, 1).reshape(-1), keys).astype(jnp.int32)
-    exc_id = jnp.where(valid, ids_at, 0)
+    exc_key = jnp.where(valid, keys.astype(jnp.int32), EXC_EMPTY)
+    exc_key = jnp.sort(exc_key)   # ascending, EXC_EMPTY tail → binary-searchable
+    ids_at = jnp.take(blocks.transpose(0, 2, 1).reshape(-1),
+                      jnp.clip(exc_key, 0, n - 1)).astype(jnp.int32)
+    exc_id = jnp.where(exc_key < EXC_EMPTY, ids_at, 0)
 
     return VoxelWorld(
         blocks=blocks,
@@ -205,6 +233,7 @@ def build_tables(cfg: WorldConfig, blocks, schema_rows) -> VoxelWorld:
         exc_key=exc_key,
         exc_id=exc_id,
         df_super=build_super_df(cfg, colmask),
+        maxh_super=build_super_maxh(cfg, colmask),
     )
 
 

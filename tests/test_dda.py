@@ -79,8 +79,9 @@ import jax
 
 @functools.lru_cache(maxsize=None)
 def _traced(p, capped):
-    def f(o, d, cm, df, tc):
-        return dda.trace(o, d, cm, df, p, t_cap=tc if capped else None)
+    def f(o, d, cm, df, mh, tc):
+        return dda.trace(o, d, cm, df, p, t_cap=tc if capped else None,
+                         maxh_row=mh)
     return jax.jit(f)
 
 
@@ -90,7 +91,7 @@ def run_ours(cfg, w, o, d, t_cap=None):
     return f(
         (jnp.asarray(o[:, 0]), jnp.asarray(o[:, 1]), jnp.asarray(o[:, 2])),
         (jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2])),
-        w.colmask, w.df_super[0], tc,
+        w.colmask, w.df_super[0], w.maxh_super[0], tc,
     )
 
 

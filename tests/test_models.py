@@ -1,0 +1,184 @@
+"""Skeleton / animation / skinning / entity / model-loading tests."""
+import json
+import struct
+
+import numpy as np
+import jax.numpy as jnp
+
+from rtvb_tpu.models import animation as anim
+from rtvb_tpu.models import skinning
+from rtvb_tpu.models.character import Character, build_character_mesh
+from rtvb_tpu.models.entity import Entity, make_cuboid
+from rtvb_tpu.models.skeleton import Skeleton, trs_to_mat4
+from rtvb_tpu.assets import models as model_io
+from rtvb_tpu.ops import triangles
+from rtvb_tpu.world import gen
+
+
+def test_skeleton_global_matrices_chain():
+    parents = np.array([-1, 0, 1], np.int32)
+    bt = np.array([[0, 0, 0], [0, 1, 0], [0, 1, 0]], np.float32)
+    br = np.tile(np.array([[0, 0, 0, 1.0]], np.float32), (3, 1))
+    bs = np.ones((3, 3), np.float32)
+    inv = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+    sk = Skeleton(["a", "b", "c"], parents, bt, br, bs, inv)
+    g = sk.global_matrices(jnp.asarray(bt), jnp.asarray(br), jnp.asarray(bs))
+    assert np.allclose(np.asarray(g)[2, :3, 3], [0, 2, 0], atol=1e-6)
+
+
+def test_skinning_rigid_translation():
+    pos = jnp.asarray(np.array([[1.0, 0, 0], [0, 1, 0]], np.float32))
+    norm = jnp.asarray(np.array([[0, 1.0, 0], [1, 0, 0]], np.float32))
+    joints = jnp.zeros((2, 4), jnp.int32)
+    weights = jnp.asarray(np.array([[1, 0, 0, 0]] * 2, np.float32))
+    mats = jnp.eye(4)[None].at[0, 1, 3].set(5.0)   # translate +5 in y
+    sp, sn = skinning.skin_vertices(pos, norm, joints, weights, mats)
+    assert np.allclose(np.asarray(sp), [[1, 5, 0], [0, 6, 0]], atol=1e-6)
+    assert np.allclose(np.asarray(sn), np.asarray(norm), atol=1e-6)
+
+
+def test_animation_evaluate_and_blend():
+    mesh = build_character_mesh()
+    clip = mesh.clips["walk"]
+    tracks = clip.device_tracks()
+    p0 = anim.evaluate(tracks, 0.0, clip.duration)
+    p1 = anim.evaluate(tracks, clip.duration / 4, clip.duration)
+    assert not np.allclose(np.asarray(p0[1]), np.asarray(p1[1]))
+    pb = anim.blend(p0, p1, 0.5)
+    # blend stays normalized
+    assert np.allclose(np.linalg.norm(np.asarray(pb[1]), axis=-1), 1.0, atol=1e-4)
+
+
+def test_character_falls_and_lands():
+    cfg, w = gen.generate_world()
+    ch = Character(cfg_world=cfg)
+    ch.position = np.array([32.0, 25.0, 32.0], np.float32)
+    for _ in range(200):
+        ch.update(w, 1.0 / 30.0)
+        if ch.on_ground:
+            break
+    assert ch.on_ground
+    # standing on terrain: feet y == integer surface height, inside world
+    assert 1.0 <= ch.position[1] <= 20.0
+    assert ch.state == "idle"
+
+
+def test_character_walks():
+    cfg, w = gen.generate_world()
+    ch = Character(cfg_world=cfg)
+    ch.position = np.array([32.0, 16.0, 32.0], np.float32)
+    for _ in range(30):
+        ch.update(w, 1.0 / 30.0)
+    x0 = ch.position.copy()
+    for _ in range(30):
+        ch.update(w, 1.0 / 30.0, move_input=(1.0, 0.0))
+    moved = np.linalg.norm((ch.position - x0)[[0, 2]])
+    assert moved > 0.5
+    assert ch.state in ("walk", "run")
+
+
+def test_entity_triangles_and_intersect():
+    e = Entity(mesh=build_character_mesh())
+    e.position = np.array([5.0, 0.0, 5.0], np.float32)
+    e.update_vertices()
+    v0, v1, v2 = e.triangles()
+    # ray from above straight down through the head
+    o = (jnp.asarray([5.0]), jnp.asarray([10.0]), jnp.asarray([5.0]))
+    d = (jnp.asarray([0.0]), jnp.asarray([-1.0]), jnp.asarray([0.0]))
+    hit = triangles.intersect(o, d, v0, v1, v2)
+    assert bool(hit.hit[0])
+    # head top is ~1.75 → t ≈ 8.25
+    assert abs(float(hit.t[0]) - (10.0 - 1.75)) < 0.1
+
+
+def test_obj_roundtrip(tmp_path):
+    p = tmp_path / "tri.obj"
+    p.write_text("""
+v 0 0 0
+v 1 0 0
+v 0 1 0
+v 1 1 0
+vn 0 0 1
+vt 0 0
+f 1/1/1 2/1/1 3/1/1
+f 2/1/1 4/1/1 3/1/1
+""")
+    mesh = model_io.load_obj(str(p))
+    assert mesh.positions.shape[0] == 4
+    assert mesh.indices.shape == (2, 3)
+
+
+def _make_test_glb(path):
+    """Minimal skinned triangle GLB with one rotation animation."""
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    norm = np.array([[0, 0, 1]] * 3, np.float32)
+    joints = np.array([[0, 0, 0, 0]] * 3, np.uint16)
+    weights = np.array([[1, 0, 0, 0]] * 3, np.float32)
+    idx = np.array([0, 1, 2], np.uint16)
+    ibm = np.eye(4, dtype=np.float32).T.reshape(1, 16)
+    times = np.array([0.0, 1.0], np.float32)
+    rots = np.array([[0, 0, 0, 1], [0, 0.7071, 0, 0.7071]], np.float32)
+
+    blobs = [pos, norm, joints, weights, idx, ibm, times, rots]
+    offsets, bin_data = [], b""
+    for b in blobs:
+        offsets.append(len(bin_data))
+        bin_data += b.tobytes()
+        bin_data += b"\0" * ((4 - len(bin_data) % 4) % 4)
+
+    def bv(i, blob):
+        return {"buffer": 0, "byteOffset": offsets[i], "byteLength": blob.nbytes}
+
+    doc = {
+        "asset": {"version": "2.0"},
+        "scenes": [{"nodes": [0]}], "scene": 0,
+        "nodes": [
+            {"mesh": 0, "skin": 0},
+            {"name": "root", "translation": [0, 0, 0]},
+        ],
+        "skins": [{"joints": [1], "inverseBindMatrices": 5}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "NORMAL": 1, "JOINTS_0": 2,
+                           "WEIGHTS_0": 3},
+            "indices": 4}]}],
+        "animations": [{
+            "name": "spin",
+            "channels": [{"sampler": 0,
+                          "target": {"node": 1, "path": "rotation"}}],
+            "samplers": [{"input": 6, "output": 7,
+                          "interpolation": "LINEAR"}],
+        }],
+        "bufferViews": [bv(i, b) for i, b in enumerate(blobs)],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5123, "count": 3, "type": "VEC4"},
+            {"bufferView": 3, "componentType": 5126, "count": 3, "type": "VEC4"},
+            {"bufferView": 4, "componentType": 5123, "count": 3, "type": "SCALAR"},
+            {"bufferView": 5, "componentType": 5126, "count": 1, "type": "MAT4"},
+            {"bufferView": 6, "componentType": 5126, "count": 2, "type": "SCALAR"},
+            {"bufferView": 7, "componentType": 5126, "count": 2, "type": "VEC4"},
+        ],
+        "buffers": [{"byteLength": len(bin_data)}],
+    }
+    js = json.dumps(doc).encode()
+    js += b" " * ((4 - len(js) % 4) % 4)
+    out = struct.pack("<III", 0x46546C67, 2, 12 + 8 + len(js) + 8 + len(bin_data))
+    out += struct.pack("<II", len(js), 0x4E4F534A) + js
+    out += struct.pack("<II", len(bin_data), 0x004E4942) + bin_data
+    with open(path, "wb") as f:
+        f.write(out)
+
+
+def test_glb_load(tmp_path):
+    p = tmp_path / "t.glb"
+    _make_test_glb(str(p))
+    mesh = model_io.load_gltf(str(p))
+    assert mesh.positions.shape == (3, 3)
+    assert mesh.skeleton is not None and mesh.skeleton.n_joints == 1
+    assert "spin" in mesh.clips
+    clip = mesh.clips["spin"]
+    # (time==duration wraps to 0 for looped clips; sample just before the end)
+    t, r, s = anim.evaluate(clip.device_tracks(), 0.999, clip.duration)
+    # ~quarter-turn about y near t=1
+    assert abs(abs(float(r[0, 1])) - 0.7071) < 0.03

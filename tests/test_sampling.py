@@ -1,0 +1,113 @@
+"""Alias tables, RNG, BSDF sampling correctness."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rtvb_tpu.ops import alias_table as at
+from rtvb_tpu.ops import bsdf as B
+from rtvb_tpu.ops import rng
+from rtvb_tpu.ops import mathutil as m
+
+
+def test_alias_table_distribution():
+    w = np.array([1.0, 2.0, 0.0, 4.0, 1.0])
+    table = at.build(w)
+    n = 200000
+    u = jnp.asarray(np.random.default_rng(0).random(n, dtype=np.float32))
+    idx, pmf = jax.jit(lambda u: at.sample(table, u))(u)
+    idx = np.asarray(idx)
+    counts = np.bincount(idx, minlength=5) / n
+    expect = w / w.sum()
+    assert np.allclose(counts, expect, atol=0.01), (counts, expect)
+    # pmf gather matches
+    assert np.allclose(np.asarray(pmf), expect[idx], atol=1e-6)
+    assert counts[2] == 0.0
+
+
+def test_alias_table_degenerate():
+    t = at.build(np.zeros(4))
+    idx, pmf = at.sample(t, jnp.asarray([0.1, 0.9]))
+    assert np.all(np.asarray(pmf) > 0)
+
+
+def test_rng_uniformity_and_determinism():
+    px = jnp.arange(64, dtype=jnp.uint32)[None, :].repeat(64, 0)
+    py = jnp.arange(64, dtype=jnp.uint32)[:, None].repeat(64, 1)
+    f = jax.jit(lambda frame: rng.rand(px, py, frame, jnp.uint32(3)))
+    a = np.asarray(f(jnp.uint32(5)))
+    b = np.asarray(f(jnp.uint32(5)))
+    c = np.asarray(f(jnp.uint32(6)))
+    assert np.array_equal(a, b)            # deterministic
+    assert not np.array_equal(a, c)        # varies by frame
+    assert 0.45 < a.mean() < 0.55
+    assert a.min() >= 0.0 and a.max() < 1.0
+    # neighboring pixels decorrelated
+    corr = np.corrcoef(a[:, :-1].ravel(), a[:, 1:].ravel())[0, 1]
+    assert abs(corr) < 0.1
+
+
+def _white_furnace(roughness, metallic, n_samples=8192):
+    """Uniform white albedo + constant unit environment: the integral of
+    weight over samples should be ≤1 and reasonably close for rough diffuse."""
+    rg = np.random.default_rng(1)
+    shape = (n_samples,)
+    mat = B.Material(
+        albedo_r=jnp.ones(shape), albedo_g=jnp.ones(shape), albedo_b=jnp.ones(shape),
+        roughness=jnp.full(shape, roughness), metallic=jnp.full(shape, metallic),
+        translucency=jnp.zeros(shape))
+    n = (jnp.zeros(shape), jnp.ones(shape), jnp.zeros(shape))
+    wo = m.normalize((jnp.full(shape, 0.3), jnp.full(shape, 0.8), jnp.full(shape, 0.1)))
+    u1 = jnp.asarray(rg.random(n_samples, dtype=np.float32))
+    u2 = jnp.asarray(rg.random(n_samples, dtype=np.float32))
+    u3 = jnp.asarray(rg.random(n_samples, dtype=np.float32))
+    s = jax.jit(B.sample)(mat, n, wo, u1, u2, u3)
+    w = np.asarray(jnp.stack(s.weight)).mean(axis=0)
+    return w
+
+
+def test_bsdf_diffuse_energy():
+    w = _white_furnace(0.9, 0.0)
+    assert 0.5 < w.mean() <= 1.05, w.mean()   # lambert ≈ albedo = 1
+
+
+def test_bsdf_weights_bounded():
+    for rough, metal in [(0.05, 1.0), (0.5, 0.5), (1.0, 0.0)]:
+        w = _white_furnace(rough, metal)
+        assert np.all(w >= 0)
+        assert np.all(w <= B.MAX_THROUGHPUT + 1e-3)
+
+
+def test_bsdf_eval_pdf_consistency():
+    """pdf returned by evaluate should roughly integrate to 1 over the
+    sphere (Monte Carlo with uniform directions)."""
+    rg = np.random.default_rng(2)
+    nsmp = 20000
+    d = rg.normal(size=(nsmp, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    wi = (jnp.asarray(d[:, 0], jnp.float32), jnp.asarray(d[:, 1], jnp.float32),
+          jnp.asarray(d[:, 2], jnp.float32))
+    shape = (nsmp,)
+    mat = B.Material(
+        albedo_r=jnp.full(shape, 0.5), albedo_g=jnp.full(shape, 0.5),
+        albedo_b=jnp.full(shape, 0.5), roughness=jnp.full(shape, 0.6),
+        metallic=jnp.zeros(shape), translucency=jnp.zeros(shape))
+    n = (jnp.zeros(shape), jnp.ones(shape), jnp.zeros(shape))
+    wo = m.normalize((jnp.full(shape, 0.2), jnp.full(shape, 0.9), jnp.full(shape, 0.0)))
+    _, pdf = jax.jit(B.evaluate)(mat, n, wo, wi)
+    integral = float(np.asarray(pdf).mean()) * 4.0 * np.pi
+    assert 0.7 < integral < 1.3, integral
+
+
+def test_mirror_reflection_direction():
+    shape = (1,)
+    mat = B.Material(
+        albedo_r=jnp.ones(shape), albedo_g=jnp.ones(shape), albedo_b=jnp.ones(shape),
+        roughness=jnp.zeros(shape), metallic=jnp.ones(shape),
+        translucency=jnp.zeros(shape))
+    n = (jnp.zeros(shape), jnp.ones(shape), jnp.zeros(shape))
+    wo = m.normalize((jnp.full(shape, -0.5), jnp.full(shape, 0.7), jnp.full(shape, 0.0)))
+    s = B.sample(mat, n, wo, jnp.zeros(shape), jnp.full(shape, 0.3), jnp.full(shape, 0.3))
+    assert bool(s.is_delta[0])
+    expect = m.reflect(m.neg(wo), n)
+    for a, b in zip(s.wi, expect):
+        assert abs(float(a[0]) - float(b[0])) < 1e-5

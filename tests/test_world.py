@@ -36,7 +36,7 @@ def test_schema_plus_exceptions_reconstruct_blocks():
     exc_id = np.asarray(w.exc_id)
     recon = pred.copy()
     for k, bid in zip(exc_key, exc_id):
-        if k < 0:
+        if k >= voxel.EXC_EMPTY:
             continue
         c, y = divmod(int(k), cfg.y)
         x, z = divmod(c, cfg.z)
@@ -74,7 +74,7 @@ def test_set_block_roundtrip():
     mask = np.asarray(w2.colmask).reshape(cfg.x, cfg.z)
     assert mask[10, 10] >> 20 & 1
     # it must be an exception (schema says air/terrain ids there)
-    keys = [int(k) for k in np.asarray(w2.exc_key) if k >= 0]
+    keys = [int(k) for k in np.asarray(w2.exc_key) if k < voxel.EXC_EMPTY]
     assert (10 * cfg.z + 10) * cfg.y + 20 in keys
     # delete restores
     w3 = voxel.set_block(cfg, w2, 10, 20, 10, 0)
