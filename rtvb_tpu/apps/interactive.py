@@ -156,6 +156,8 @@ class InteractiveApp:
         ui.menu_action("select", "default")
         character = Character(cfg_world=eng.cfg,
                               move=self.settings.character_movement)
+        character.entity.update_vertices()
+        eng.add_entity(character.entity)
         handler = InputHandler(self.settings.camera_movement, mode="free")
         pose = CameraPose(np.array(self.scene.camera_pos, np.float32),
                           self.scene.camera_yaw, self.scene.camera_pitch)

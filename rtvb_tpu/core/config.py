@@ -34,6 +34,8 @@ class RenderingSettings:
     use_restir: bool = True
     restir_m_cap: int = 20              # closesthit.cu M-cap 20
     restir_temporal_samples: int = 3
+    entity_shadows: bool = True         # entities block NEE visibility rays
+    entity_in_bounces: bool = False     # entities visible in indirect bounces
 
 
 @dataclass(frozen=True)

@@ -163,8 +163,10 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
     ss = p.super_size
     max_d = jnp.abs(jnp.stack([dx, dz])).max(axis=0)
 
-    zero_u32 = jnp.zeros(shape, jnp.uint32)
-    zero_i32 = jnp.zeros(shape, jnp.int32)
+    # tie zero-inits to traced values so their sharding "varying" type matches
+    # the loop body under shard_map (jax vma typing); XLA folds the arithmetic
+    zero_i32 = ix * 0
+    zero_f32 = t * 0.0
 
     # entry face axis: whichever slab bounded t_enter (y included: rays can
     # enter the world through its top/bottom plane)
@@ -180,8 +182,8 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
         # entered (0 = x, 1 = y [first segment only], 2 = z)
         last_axis=enter_axis,
         alive=(~miss_from_start).astype(jnp.int32),
-        hit=jnp.zeros(shape, jnp.int32),
-        hit_t=jnp.full(shape, BIG),
+        hit=zero_i32,
+        hit_t=zero_f32 + BIG,
         hit_ix=zero_i32, hit_iy=zero_i32, hit_iz=zero_i32,
         hit_axis=zero_i32,   # 0=x, 1=y, 2=z
         step=jnp.int32(0),

@@ -26,6 +26,7 @@ from ..core.config import RenderingSettings
 from ..ops import bsdf as B
 from ..ops import mathutil as m
 from ..ops import rng
+from ..ops import triangles as tri_ops
 from ..ops.dda import BIG, HitRecord
 from ..world.lighting import LightTable, light_radiance, sample_light_point
 from ..world.voxel import WorldConfig, VoxelWorld, schema_block_id
@@ -34,6 +35,18 @@ from . import sky as sky_mod
 
 SPAWN_EPS = 1e-3     # self-intersection avoidance offset (SelfHit.h role)
 REGULARIZE_ROUGHNESS = 0.35   # path regularization after first diffuse
+
+
+class EntityBuffers(NamedTuple):
+    """Device-side triangle soup of all live entities + instanced decoration
+    meshes for the brute-force intersector (replaces BLAS refits,
+    OptixRenderer.cpp:487-555). Pad with zero rows to a fixed T."""
+    tri_packed: jnp.ndarray   # (T, 9) [v0 | e1 | e2]
+    normals: jnp.ndarray      # (T, 3) geometric normals
+    prev_v0: jnp.ndarray      # (T, 3) previous-frame vertices (motion vectors)
+    prev_v1: jnp.ndarray
+    prev_v2: jnp.ndarray
+    mat_index: jnp.ndarray    # (T,) i32 material index per triangle
 
 
 class GBuffers(NamedTuple):
@@ -100,6 +113,10 @@ def resolve_block_id(cfg: WorldConfig, world: VoxelWorld, rec: HitRecord,
 
 def gather_material(mats: MaterialTable, bid, min_roughness):
     mi = jnp.take(mats.block_to_mat, jnp.clip(bid, 0, mats.block_to_mat.shape[0] - 1))
+    return material_from_index(mats, mi, min_roughness)
+
+
+def material_from_index(mats: MaterialTable, mi, min_roughness):
     alb = jnp.take(mats.albedo, mi, axis=0)
     emis = jnp.take(mats.emissive, mi, axis=0)
     mat = B.Material(
@@ -226,7 +243,8 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                  frame_idx, width: int, height: int,
                  rs_cfg: RenderingSettings, trace_fn,
                  y0=0, rows: int | None = None,
-                 prev_restir=None, light_remap=None):
+                 prev_restir=None, light_remap=None,
+                 entities: EntityBuffers | None = None):
     """One 1-spp path-traced frame producing denoiser-ready G-buffers.
 
     trace_fn(o, d, t_cap, any_hit) -> HitRecord, closed over world tables
@@ -250,7 +268,13 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
     o, d = camera_rays(cam, W, height, ju, jv, y0=y0, rows=H)
 
     def trace_any(oo, dd, t_cap):
-        return trace_fn(oo, dd, t_cap=t_cap, any_hit=True)
+        srec = trace_fn(oo, dd, t_cap=t_cap, any_hit=True)
+        if entities is not None and rs_cfg.entity_shadows:
+            sth = tri_ops.intersect_packed(
+                oo, dd, entities.tri_packed,
+                t_cap=jnp.minimum(t_cap, srec.t))
+            srec = srec._replace(hit=srec.hit | sth.hit)
+        return srec
 
     L = [jnp.zeros((H, W)) for _ in range(3)]
     throughput = [jnp.ones((H, W)) for _ in range(3)]
@@ -275,6 +299,22 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         rs.dim = 8 + bounce * 64
         rec = trace_fn(o, d, t_cap=None, any_hit=False)
 
+        # ---- entity/decoration triangles: brute-force composite hit ----
+        test_ent = entities is not None and (bounce == 0 or rs_cfg.entity_in_bounces)
+        if test_ent:
+            th = tri_ops.intersect_packed(o, d, entities.tri_packed, t_cap=rec.t)
+            is_ent = th.hit
+            tidx = jnp.clip(th.tri, 0, entities.normals.shape[0] - 1)
+            en = jnp.take(entities.normals, tidx, axis=0)
+            # two-sided: face the incoming ray
+            eflip = jnp.where(en[..., 0] * d[0] + en[..., 1] * d[1]
+                              + en[..., 2] * d[2] > 0, -1.0, 1.0)
+            ent_n = (en[..., 0] * eflip, en[..., 1] * eflip, en[..., 2] * eflip)
+            rec = rec._replace(hit=rec.hit | is_ent,
+                               t=jnp.where(is_ent, th.t, rec.t))
+        else:
+            is_ent = jnp.zeros((H, W), bool)
+
         # ---- miss: sky + sun with MIS against the NEE sky/sun candidates ----
         sky_rgb = sky_mod.sky_radiance(d, sky_state)
         sun_rgb = sky_mod.sun_radiance(d, sky_state)
@@ -295,11 +335,17 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
 
         # ---- hit shading ----
         n = (rec.nx, rec.ny, rec.nz)
+        if test_ent:
+            n = m.where3(is_ent, ent_n, n)
         p = m.add(o, m.scale(d, rec.t))
         wo = m.neg(d)
 
         bid = resolve_block_id(cfg, world, rec)
-        mat, emis, tex_id, uv_scale = gather_material(mats, bid, min_roughness)
+        mi = jnp.take(mats.block_to_mat,
+                      jnp.clip(bid, 0, mats.block_to_mat.shape[0] - 1))
+        if test_ent:
+            mi = jnp.where(is_ent, jnp.take(entities.mat_index, tidx), mi)
+        mat, emis, tex_id, uv_scale = material_from_index(mats, mi, min_roughness)
 
         # triplanar world-grid UV + procedural texture (ray-cone LOD proxy)
         u, v = textures.triplanar_uv(p[0], p[1], p[2], n[0], n[1], n[2])
@@ -333,9 +379,21 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
             g_rough = jnp.where(first_hit, mat.roughness, 1.0)
             g_emissive = hit_emis
 
-            # motion vectors: reproject first hit (or miss dir) into hist cam
+            # motion vectors: reproject first hit (or miss dir) into hist cam;
+            # entity hits reproject their previous-frame vertex position
+            # (closesthit.cu:75-94 skinned motion vectors)
             u_cur, v_cur = pixel_uv(W, height, ju, jv, y0=y0, rows=H)
-            up_h, vp_h, okp = hist_cam.point_to_uv(p)
+            p_ref = p
+            if test_ent:
+                w0 = 1.0 - th.u - th.v
+                pv0 = jnp.take(entities.prev_v0, tidx, axis=0)
+                pv1 = jnp.take(entities.prev_v1, tidx, axis=0)
+                pv2 = jnp.take(entities.prev_v2, tidx, axis=0)
+                p_prev_ent = tuple(
+                    w0 * pv0[..., i] + th.u * pv1[..., i] + th.v * pv2[..., i]
+                    for i in range(3))
+                p_ref = m.where3(is_ent, p_prev_ent, p)
+            up_h, vp_h, okp = hist_cam.point_to_uv(p_ref)
             ud_h, vd_h, okd = hist_cam.dir_to_uv(d)
             ok = jnp.where(first_hit, okp, okd)
             g_motion_u = jnp.where(ok, jnp.where(first_hit, up_h, ud_h) - u_cur, 2.0)

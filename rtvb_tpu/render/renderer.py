@@ -78,6 +78,105 @@ class Engine:
         self._tp = _trace_params(self.cfg, self.settings.rendering.max_trace_steps)
         self._compiled: dict[Any, Any] = {}
 
+        # entities + instanced decorations (triangle content)
+        self.entities: list = []
+        self._decor_dirty = True
+        self._decor_tris = None
+        self.max_entity_tris = 256
+
+    # ------------------------------------------------------------------
+    # entity / decoration triangle soup
+    # ------------------------------------------------------------------
+
+    def add_entity(self, entity):
+        self.entities.append(entity)
+
+    def _nonsolid_ids(self):
+        return tuple(b.id for b in self.block_registry.blocks
+                     if b.instanced and not b.emissive)
+
+    def _decoration_triangles(self):
+        """Scan the world for instanced decoration blocks → triangle soup
+        (geometryInstanceIdMap role, rebuilt on edits)."""
+        if not self._decor_dirty and self._decor_tris is not None:
+            return self._decor_tris
+        from ..assets import decorations as deco
+        blocks = np.asarray(self.world.blocks)
+        v0s, v1s, v2s, mats = [], [], [], []
+        for b in self.block_registry.blocks:
+            if not b.instanced or b.emissive:
+                continue
+            pos = np.argwhere(blocks == b.id).astype(np.float32)
+            if len(pos) == 0:
+                continue
+            v0, v1, v2 = deco.decoration_triangles(b.name, pos)
+            if len(v0) == 0 and b.name not in deco.DECORATION_MESHES:
+                continue
+            v0s.append(v0)
+            v1s.append(v1)
+            v2s.append(v2)
+            mats.append(np.full(len(v0),
+                                self.material_registry.index_of(b.material),
+                                np.int32))
+        if v0s:
+            self._decor_tris = (np.concatenate(v0s), np.concatenate(v1s),
+                                np.concatenate(v2s), np.concatenate(mats))
+        else:
+            z = np.zeros((0, 3), np.float32)
+            self._decor_tris = (z, z, z, np.zeros(0, np.int32))
+        self._decor_dirty = False
+        return self._decor_tris
+
+    def entity_buffers(self):
+        """Fixed-size EntityBuffers for the intersector, or None when the
+        scene has no triangle content (static shape across frames)."""
+        from ..ops import triangles as tri_ops
+
+        dv0, dv1, dv2, dmat = self._decoration_triangles()
+        v0s, v1s, v2s, mats = [dv0], [dv1], [dv2], [dmat]
+        pv0s, pv1s, pv2s = [dv0], [dv1], [dv2]
+        for e in self.entities:
+            if e._cur_pos is None:
+                e.update_vertices()
+            cv0, cv1, cv2 = (np.asarray(v) for v in e.triangles())
+            idx = e.mesh.indices
+            prev = np.asarray(e._prev_pos)
+            v0s.append(cv0)
+            v1s.append(cv1)
+            v2s.append(cv2)
+            pv0s.append(prev[idx[:, 0]])
+            pv1s.append(prev[idx[:, 1]])
+            pv2s.append(prev[idx[:, 2]])
+            mats.append(np.full(len(cv0),
+                                self.material_registry.index_of(e.material),
+                                np.int32))
+        v0 = np.concatenate(v0s)
+        if len(v0) == 0:
+            return None
+        v1 = np.concatenate(v1s)
+        v2 = np.concatenate(v2s)
+        pv0 = np.concatenate(pv0s)
+        pv1 = np.concatenate(pv1s)
+        pv2 = np.concatenate(pv2s)
+        mat = np.concatenate(mats)
+        t_max = self.max_entity_tris
+        assert len(v0) <= t_max, f"entity triangle budget exceeded: {len(v0)}"
+        pad = t_max - len(v0)
+
+        def padv(a):
+            return jnp.asarray(np.concatenate([a, np.zeros((pad, 3), np.float32)]))
+
+        nrm = np.cross(v1 - v0, v2 - v0)
+        nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+        packed = np.concatenate([v0, v1 - v0, v2 - v0], axis=-1)
+        packed = np.concatenate([packed, np.zeros((pad, 9), np.float32)])
+        return pathtracer.EntityBuffers(
+            tri_packed=jnp.asarray(packed),
+            normals=padv(nrm),
+            prev_v0=padv(pv0), prev_v1=padv(pv1), prev_v2=padv(pv2),
+            mat_index=jnp.asarray(np.concatenate([mat, np.zeros(pad, np.int32)])),
+        )
+
     # ------------------------------------------------------------------
     # compiled pipelines
     # ------------------------------------------------------------------
@@ -97,7 +196,7 @@ class Engine:
                 from ..ops import trace_kernel
 
             def run(world, mats, lights, sky_state, cam, hist_cam, frame_idx,
-                    prev_restir, light_remap):
+                    prev_restir, light_remap, ent):
                 def trace_fn(o, d, t_cap=None, any_hit=False):
                     impl = trace_kernel.trace if use_pallas else dda.trace
                     return impl(o, d, world.colmask, world.df_super[0], tp,
@@ -107,7 +206,7 @@ class Engine:
                     cfg, world, mats, lights, sky_state, cam, hist_cam,
                     frame_idx, W, H, rs_cfg, trace_fn,
                     prev_restir=prev_restir if use_restir else None,
-                    light_remap=light_remap)
+                    light_remap=light_remap, entities=ent)
 
             self._compiled[key] = jax.jit(run)
         return self._compiled[key]
@@ -136,7 +235,8 @@ class Engine:
         g, new_state = self._pt_fn()(
             self.world, self.materials, self.lights,
             self.sky_state, self.camera, self.history_camera,
-            self.frame_index, self.restir_state, self._light_remap)
+            self.frame_index, self.restir_state, self._light_remap,
+            self.entity_buffers())
         if new_state is not None:
             self.restir_state = new_state
         self._light_remap = jnp.arange(self.cfg.max_exceptions, dtype=jnp.int32)
@@ -157,17 +257,65 @@ class Engine:
         out, self.post_state = self._post_fn()(self._accum, self.post_state, dt)
         return np.asarray(out)
 
+    def _frame_fn(self):
+        """Whole interactive frame as ONE jitted function: path trace →
+        denoise → post → u8, all state device-resident.  One dispatch + one
+        small (u8) device→host copy per frame."""
+        use_restir = self.settings.rendering.use_restir
+        key = ("frame", self.width, self.height, use_restir)
+        if key not in self._compiled:
+            tp = self._tp
+            rs_cfg = self.settings.rendering
+            dn_cfg = self.settings.denoising
+            pp = self.settings.post_processing
+            tm = self.settings.tone_mapping
+            cfg = self.cfg
+            W, H = self.width, self.height
+            use_pallas = self.backend == "pallas" or (
+                self.backend == "auto" and jax.default_backend() == "tpu")
+            if use_pallas:
+                from ..ops import trace_kernel
+            from .denoiser import _denoise_jit
+
+            def run(world, mats, lights, sky_state, cam, hist_cam, frame_idx,
+                    prev_restir, light_remap, dstate, post_state, dt, ent):
+                def trace_fn(o, d, t_cap=None, any_hit=False):
+                    impl = trace_kernel.trace if use_pallas else dda.trace
+                    return impl(o, d, world.colmask, world.df_super[0], tp,
+                                t_cap=t_cap, any_hit=any_hit,
+                                maxh_row=world.maxh_super[0])
+                g, new_restir = pathtracer.render_frame(
+                    cfg, world, mats, lights, sky_state, cam, hist_cam,
+                    frame_idx, W, H, rs_cfg, trace_fn,
+                    prev_restir=prev_restir if use_restir else None,
+                    light_remap=light_remap, entities=ent)
+                rgb, new_dstate = _denoise_jit(g, dstate, dn_cfg)
+                out, new_pstate = postprocess.run(rgb, post_state, pp, tm, dt, H, W)
+                out_u8 = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+                return out_u8, new_restir, new_dstate, new_pstate
+
+            self._compiled[key] = jax.jit(run, donate_argnums=(7, 9, 10))
+        return self._compiled[key]
+
     def render_realtime(self, dt: float = 1.0 / 60.0) -> np.ndarray:
         """Interactive path: 1 spp + denoiser + post (Backend.cpp frame loop)."""
-        g = self.path_trace()
+        from . import restir as restir_mod
+        if self.settings.rendering.use_restir and self.restir_state is None:
+            self.restir_state = restir_mod.initial_state(self.height, self.width)
         if self.denoiser_state is None:
             self.denoiser_state = initial_denoiser_state(self.height, self.width)
-        rgb, self.denoiser_state = denoise(
-            g, self.denoiser_state, self.camera, self.history_camera,
-            self.settings.denoising)
-        out, self.post_state = self._post_fn()(rgb, self.post_state, dt)
+        out_u8, new_restir, self.denoiser_state, self.post_state = self._frame_fn()(
+            self.world, self.materials, self.lights, self.sky_state,
+            self.camera, self.history_camera, self.frame_index,
+            self.restir_state, self._light_remap,
+            self.denoiser_state, self.post_state, jnp.float32(dt),
+            self.entity_buffers())
+        if new_restir is not None:
+            self.restir_state = new_restir
+        self._light_remap = jnp.arange(self.cfg.max_exceptions, dtype=jnp.int32)
+        self.frame_index += 1
         self.history_camera = self.camera
-        return np.asarray(out)
+        return np.asarray(out_u8)
 
     def reset_accumulation(self):
         self._accum = None
@@ -179,11 +327,13 @@ class Engine:
 
     def set_block(self, x: int, y: int, z: int, block_id: int):
         prev = self.world
-        self.world = voxel.set_block(self.cfg, self.world, x, y, z, block_id)
+        self.world = voxel.set_block(self.cfg, self.world, x, y, z, block_id,
+                                     self._nonsolid_ids())
         self.lights = lighting.build_light_table(
             self.cfg, self.world, self.materials, self.block_registry)
         remap = lighting.light_id_remap(prev, self.world)
         self._light_remap = remap   # consumed by the next frame's ReSTIR
+        self._decor_dirty = True
         return remap
 
     def delete_block(self, x: int, y: int, z: int):

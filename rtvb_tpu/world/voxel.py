@@ -140,9 +140,13 @@ def _as_rows(cfg: WorldConfig, flat):
     return flat.reshape(cfg.col_rows, LANES)
 
 
-def build_colmask(cfg: WorldConfig, blocks):
-    occ = (blocks != AIR).astype(jnp.uint32)            # (X, Y, Z)
-    bits = occ << jnp.arange(cfg.y, dtype=jnp.uint32)[None, :, None]
+def build_colmask(cfg: WorldConfig, blocks, nonsolid_ids: tuple = ()):
+    """nonsolid_ids: block ids rays pass through (instanced decoration meshes
+    — their triangles are intersected separately, not as cubes)."""
+    occ = blocks != AIR
+    for nid in nonsolid_ids:
+        occ = occ & (blocks != nid)
+    bits = occ.astype(jnp.uint32) << jnp.arange(cfg.y, dtype=jnp.uint32)[None, :, None]
     mask = bits.sum(axis=1, dtype=jnp.uint32)           # (X, Z)
     return _as_rows(cfg, mask.reshape(-1))
 
@@ -200,10 +204,11 @@ def predicted_blocks(cfg: WorldConfig, schema_rows, colmask_rows):
     return jnp.where(occ == 1, ids, AIR).astype(jnp.uint8)
 
 
-def build_tables(cfg: WorldConfig, blocks, schema_rows) -> VoxelWorld:
+def build_tables(cfg: WorldConfig, blocks, schema_rows,
+                 nonsolid_ids: tuple = ()) -> VoxelWorld:
     """Re-derive all traversal tables from the dense grid (jit-safe, fixed
     shapes). Called at world gen, load, and after each block edit."""
-    colmask = build_colmask(cfg, blocks)
+    colmask = build_colmask(cfg, blocks, nonsolid_ids)
     pred = predicted_blocks(cfg, schema_rows, colmask)
     occ = blocks != AIR
     is_exc = occ & (blocks != pred)                     # (X, Y, Z)
@@ -250,16 +255,17 @@ def block_id_at(cfg: WorldConfig, world: VoxelWorld, ix, iy, iz):
     return jnp.where(inb, jnp.take(flat, jnp.clip(idx, 0, flat.shape[0] - 1)), AIR)
 
 
-def set_block(cfg: WorldConfig, world: VoxelWorld, ix, iy, iz, block_id) -> VoxelWorld:
+def set_block(cfg: WorldConfig, world: VoxelWorld, ix, iy, iz, block_id,
+              nonsolid_ids: tuple = ()) -> VoxelWorld:
     """Place/remove one block (block_id=0 deletes) and rebuild tables.
 
     Replaces VoxelEngine::addBlock/deleteBlock + incremental meshing + BLAS
     rebuild (VoxelEngine.cu:1168-1328, VoxelSceneGen.cu:643-786): a scatter
     plus a table sweep, no geometry."""
-    return _set_block_jit(cfg, world, ix, iy, iz, block_id)
+    return _set_block_jit(cfg, world, ix, iy, iz, block_id, nonsolid_ids)
 
 
-@partial(jax.jit, static_argnums=0)
-def _set_block_jit(cfg, world, ix, iy, iz, block_id):
+@partial(jax.jit, static_argnums=(0, 6))
+def _set_block_jit(cfg, world, ix, iy, iz, block_id, nonsolid_ids):
     blocks = world.blocks.at[ix, iy, iz].set(jnp.asarray(block_id, jnp.uint8))
-    return build_tables(cfg, blocks, world.schema)
+    return build_tables(cfg, blocks, world.schema, nonsolid_ids)

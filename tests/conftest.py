@@ -1,17 +1,20 @@
 """Test harness: run everything on CPU with 8 virtual devices so sharding
 tests exercise a real Mesh without TPU hardware (matches the driver's
-multi-chip dry-run environment)."""
+multi-chip dry-run environment).
+
+NOTE: in this environment the axon TPU plugin ignores the JAX_PLATFORMS env
+var — forcing CPU requires jax.config.update("jax_platforms", "cpu")."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
-# persistent compile cache — jit compiles are very slow in this environment
 import jax
 
+jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache — jit compiles are slow in this environment
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
-
