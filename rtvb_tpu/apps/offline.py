@@ -55,6 +55,9 @@ def build_argparser():
     ap.add_argument("--perf-report", type=str,
                     default=os.path.join(DATA_DIR, "perf", "performance_report.txt"))
     ap.add_argument("--label", type=str, default="offline run")
+    ap.add_argument("--platform", type=str, default=None, choices=("cpu", "tpu"),
+                    help="force a jax platform (goldens are CPU-rendered; "
+                         "note: the axon plugin ignores JAX_PLATFORMS env)")
     return ap
 
 
@@ -94,6 +97,9 @@ def scripted_edits(engine: Engine, frame: int, args) -> bool:
 
 def main(argv=None) -> int:
     args = build_argparser().parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     settings = Settings.load(args.settings) if args.settings else Settings()
     settings = settings.replace(rendering={

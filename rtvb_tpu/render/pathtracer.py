@@ -146,12 +146,17 @@ def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
     )
 
     def stream(res, wi, dist, le, src_pdf, u, kind, slot=None, face=None,
-               fa=None, fb=None):
+               fa=None, fb=None, mis_w=1.0):
+        """Weighted reservoir update. mis_w is the multi-strategy MIS weight
+        (1/N within a strategy): candidates estimate the SUM of the local/
+        sun/sky integrals, so w = m·p̂/p and the final W = wsum/p̂ carries no
+        M division (GRIS convention)."""
         f, _ = B.evaluate(mat, n, wo, wi)
         cos_i = jnp.maximum(m.dot(n, wi), 0.0)
         contrib = tuple(fc * cos_i * lc for fc, lc in zip(f, le))
         p_hat = m.luminance(contrib)
-        w = jnp.where(src_pdf > 1e-9, p_hat / jnp.maximum(src_pdf, 1e-9), 0.0)
+        w = jnp.where(src_pdf > 1e-9,
+                      mis_w * p_hat / jnp.maximum(src_pdf, 1e-9), 0.0)
         wsum = res.wsum + w
         take_it = (u * jnp.maximum(wsum, 1e-20)) < w
         sel = lambda a, b: jnp.where(take_it, a, b)
@@ -194,7 +199,7 @@ def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
         le = light_radiance(lights, slot)
         le = m.where3((cos_l > 0.0) & any_lights, le, m.splat(0.0, le[0]))
         res = stream(res, wi, dist, le, pdf_sa, u_take, restir_mod.KIND_LOCAL,
-                     slot=slot, face=face, fa=u2, fb=u3)
+                     slot=slot, face=face, fa=u2, fb=u3, mis_w=1.0 / n_local)
 
     # sun candidate: uniform cone around sun_dir
     u1, u2 = rs.next2()
@@ -224,10 +229,9 @@ def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
 
 def shade_reservoir(res: Reservoir, p, n, wo, mat, trace_any):
     """Final visibility ray + contribution of the RIS winner
-    (closesthit.cu:787-845)."""
+    (closesthit.cu:787-845). Candidates carry MIS weights, so W = wsum/p̂."""
     W = jnp.where(res.target_pdf > 1e-9,
-                  res.wsum / (res.m_count.astype(jnp.float32)
-                              * jnp.maximum(res.target_pdf, 1e-9)),
+                  res.wsum / jnp.maximum(res.target_pdf, 1e-9),
                   0.0)
     origin = m.add(p, m.scale(n, SPAWN_EPS))
     srec = trace_any(origin, res.dir, jnp.maximum(res.dist - 2.0 * SPAWN_EPS, 0.0))

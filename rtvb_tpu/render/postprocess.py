@@ -64,9 +64,12 @@ def _box_blur(img, radius: int, axis: int):
 
 
 def bloom(rgb, cfg: PostProcessingSettings):
-    lum = m.luminance(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+    # firefly clamp in the extract (the sun disk is ~1e5 — unclamped it would
+    # wash the whole frame; PostProcessingPipeline.cu:12-80 does the same)
+    rgb_c = jnp.minimum(rgb, 64.0)
+    lum = m.luminance(rgb_c[..., 0], rgb_c[..., 1], rgb_c[..., 2])
     k = jnp.maximum(lum - cfg.bloom_threshold, 0.0) / jnp.maximum(lum, 1e-6)
-    bright = rgb * k[..., None]
+    bright = rgb_c * k[..., None]
     # downsample 4x, blur, upsample (cheap pyramid)
     h, w = rgb.shape[:2]
     h4, w4 = h // 4, w // 4

@@ -294,7 +294,9 @@ class Engine:
                 out_u8 = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
                 return out_u8, new_restir, new_dstate, new_pstate
 
-            self._compiled[key] = jax.jit(run, donate_argnums=(7, 9, 10))
+            # NOTE: no donate_argnums — the axon TPU backend intermittently
+            # raises InvalidArgument on donated-state reuse
+            self._compiled[key] = jax.jit(run)
         return self._compiled[key]
 
     def render_realtime(self, dt: float = 1.0 / 60.0) -> np.ndarray:

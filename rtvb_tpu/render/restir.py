@@ -102,7 +102,9 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
                      lights: LightTable, sky_state, remap, u_take,
                      disocclusion_threshold: float = 0.1):
     """Merge the current-frame RIS reservoir with the reprojected previous
-    reservoir. Returns the merged reservoir fields + final W."""
+    reservoir (GRIS with confidence weights: each input reservoir is one
+    candidate with w = c/(c_cur+c_prev) · p̂(sample at current surface) · W;
+    final W = wsum/p̂_winner). Returns merged reservoir fields + final W."""
     H, W_img = depth.shape
     u_cur = (jnp.arange(W_img) + 0.5)[None, :] / W_img
     v_cur = 1.0 - (jnp.arange(H) + 0.5)[:, None] / H
@@ -141,10 +143,14 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
                                          p, lights, sky_state)
     phat_prev = jnp.where(valid, target_pdf(mat, n, wo, pwi, ple), 0.0)
 
-    pM = jnp.minimum(pM, float(M_CAP))
-    w_prev = phat_prev * pW * pM
+    # confidence weights: current frame = 1, history capped at M_CAP
+    pM = jnp.where(valid, jnp.minimum(pM, float(M_CAP)), 0.0)
+    c_total = jnp.maximum(pM + 1.0, 1.0)
+    W_cur = jnp.where(cur_phat > 1e-9, cur_wsum / jnp.maximum(cur_phat, 1e-9), 0.0)
+    w_cur = (1.0 / c_total) * cur_phat * W_cur
+    w_prev = (pM / c_total) * phat_prev * pW
 
-    wsum = cur_wsum + w_prev
+    wsum = w_cur + w_prev
     take_prev = valid & ((u_take * jnp.maximum(wsum, 1e-20)) < w_prev)
 
     kind = jnp.where(take_prev, pk, cur_kind)
@@ -155,7 +161,7 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
     dirs = m.where3(take_prev, pwi, cur_dir)
     le = m.where3(take_prev, ple, cur_le)
     phat = jnp.where(take_prev, phat_prev, cur_phat)
-    M_new = cur_M + jnp.where(valid, pM, 0.0)
-    W_new = jnp.where(phat > 1e-9, wsum / (jnp.maximum(M_new, 1.0) * jnp.maximum(phat, 1e-9)), 0.0)
+    M_new = pM + 1.0
+    W_new = jnp.where(phat > 1e-9, wsum / jnp.maximum(phat, 1e-9), 0.0)
     dist = jnp.where(take_prev, pdist, cur_dist)
     return kind, slot, face, fa, fb, dirs, dist, le, phat, wsum, M_new, W_new
