@@ -64,14 +64,13 @@ def build(weights) -> AliasTable:
 def sample(table: AliasTable, u, gather=None):
     """Draw indices from the table: u uniform in [0,1) (any shape).
     Returns (index, pmf[index]). AliasTable.h:34-54 equivalent."""
+    from .gatherlib import fast_gather, fast_gather_multi
     if gather is None:
-        def gather(t, i):
-            return jnp.take(t, i)
+        gather = fast_gather
     n = table.prob.shape[0]
     un = u * n
     col = jnp.clip(un.astype(jnp.int32), 0, n - 1)
     frac = un - col.astype(jnp.float32)
-    p = gather(table.prob, col)
-    a = gather(table.alias, col)
+    p, a = fast_gather_multi((table.prob, table.alias), col)
     idx = jnp.where(frac < p, col, a)
     return idx, gather(table.pmf, idx)

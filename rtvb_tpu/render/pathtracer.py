@@ -85,49 +85,38 @@ def resolve_block_id(cfg: WorldConfig, world: VoxelWorld, rec: HitRecord,
     if gather is None:
         def gather(t, i):
             return jnp.take(t.reshape(-1), i)
+    from ..ops.gatherlib import fast_gather, keyed_lookup
     c = jnp.clip(rec.ix * cfg.z + rec.iz, 0, cfg.n_cols - 1)
-    sch = gather(world.schema, c)
+    sch = fast_gather(world.schema.reshape(-1), c)
     bid = schema_block_id(sch, rec.iy)
-    emask = gather(world.exc_mask, c)
+    emask = fast_gather(world.exc_mask.reshape(-1), c)
     has_exc = ((emask >> jnp.clip(rec.iy, 0, 31).astype(jnp.uint32))
                & jnp.uint32(1)) == 1
 
     key = c * cfg.y + rec.iy
-    k = world.exc_key.shape[0]
-    assert k & (k - 1) == 0, "exception capacity must be a power of two"
-    keys2d = world.exc_key.reshape(-1, 128) if k >= 128 else world.exc_key.reshape(1, -1)
-    ids2d = world.exc_id.reshape(keys2d.shape)
-    # branchless lower-bound over the ascending key list (log2(K) gathers)
-    lo = jnp.zeros_like(key)
-    b = k >> 1
-    while b:
-        cand = lo + b
-        v = gather(keys2d, cand - 1)
-        lo = jnp.where(v < key, cand, lo)
-        b >>= 1
-    lo = jnp.clip(lo, 0, k - 1)
-    found = gather(keys2d, lo) == key
-    exc_bid = gather(ids2d, lo)
+    exc_bid, found = keyed_lookup(world.exc_key, world.exc_id, key)
     return jnp.where(has_exc & found, exc_bid, bid)
 
 
 def gather_material(mats: MaterialTable, bid, min_roughness):
-    mi = jnp.take(mats.block_to_mat, jnp.clip(bid, 0, mats.block_to_mat.shape[0] - 1))
+    from ..ops.gatherlib import fast_gather
+    mi = fast_gather(mats.block_to_mat, bid)
     return material_from_index(mats, mi, min_roughness)
 
 
 def material_from_index(mats: MaterialTable, mi, min_roughness):
-    alb = jnp.take(mats.albedo, mi, axis=0)
-    emis = jnp.take(mats.emissive, mi, axis=0)
+    from ..ops.gatherlib import fast_gather_multi
+    (ar, ag, ab, er, eg, eb, rough, metal, trans, tex_f, uvs) = fast_gather_multi(
+        (mats.albedo[:, 0], mats.albedo[:, 1], mats.albedo[:, 2],
+         mats.emissive[:, 0], mats.emissive[:, 1], mats.emissive[:, 2],
+         mats.roughness, mats.metallic, mats.translucency,
+         mats.texture_id, mats.uv_scale), mi)
     mat = B.Material(
-        albedo_r=alb[..., 0], albedo_g=alb[..., 1], albedo_b=alb[..., 2],
-        roughness=jnp.maximum(jnp.take(mats.roughness, mi), min_roughness),
-        metallic=jnp.take(mats.metallic, mi),
-        translucency=jnp.take(mats.translucency, mi),
+        albedo_r=ar, albedo_g=ag, albedo_b=ab,
+        roughness=jnp.maximum(rough, min_roughness),
+        metallic=metal, translucency=trans,
     )
-    tex_id = jnp.take(mats.texture_id, mi)
-    uv_scale = jnp.take(mats.uv_scale, mi)
-    return mat, (emis[..., 0], emis[..., 1], emis[..., 2]), tex_id, uv_scale
+    return mat, (er, eg, eb), tex_f, uvs
 
 
 def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
@@ -180,13 +169,13 @@ def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
     for _ in range(n_local):
         u_slot, u_take = rs.next2()
         u1, u2, u3 = rs.next3()
+        from ..ops.gatherlib import fast_gather, fast_gather_multi
         un = u_slot * n_slots
         col = jnp.clip(un.astype(jnp.int32), 0, n_slots - 1)
         frac = un - col.astype(jnp.float32)
-        pr = jnp.take(lights.prob, col)
-        al = jnp.take(lights.alias, col)
+        pr, al = fast_gather_multi((lights.prob, lights.alias), col)
         slot = jnp.where(frac < pr, col, al)
-        pmf = jnp.take(lights.pmf, slot)
+        pmf = fast_gather(lights.pmf, slot)
 
         lp, ln, pdf_area, face = sample_light_point(lights, slot, u1, u2, u3)
         to_l = m.sub(lp, p)
@@ -308,8 +297,12 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         if test_ent:
             th = tri_ops.intersect_packed(o, d, entities.tri_packed, t_cap=rec.t)
             is_ent = th.hit
+            from ..ops.gatherlib import fast_gather_multi as _fgm
             tidx = jnp.clip(th.tri, 0, entities.normals.shape[0] - 1)
-            en = jnp.take(entities.normals, tidx, axis=0)
+            enx_, eny_, enz_ = _fgm((entities.normals[:, 0],
+                                     entities.normals[:, 1],
+                                     entities.normals[:, 2]), tidx)
+            en = jnp.stack([enx_, eny_, enz_], -1)
             # two-sided: face the incoming ray
             eflip = jnp.where(en[..., 0] * d[0] + en[..., 1] * d[1]
                               + en[..., 2] * d[2] > 0, -1.0, 1.0)
@@ -345,10 +338,11 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         wo = m.neg(d)
 
         bid = resolve_block_id(cfg, world, rec)
-        mi = jnp.take(mats.block_to_mat,
-                      jnp.clip(bid, 0, mats.block_to_mat.shape[0] - 1))
+        from ..ops.gatherlib import fast_gather as _fgmi
+        mi = _fgmi(mats.block_to_mat, bid)
         if test_ent:
-            mi = jnp.where(is_ent, jnp.take(entities.mat_index, tidx), mi)
+            from ..ops.gatherlib import fast_gather as _fg
+            mi = jnp.where(is_ent, _fg(entities.mat_index, tidx), mi)
         mat, emis, tex_id, uv_scale = material_from_index(mats, mi, min_roughness)
 
         # triplanar world-grid UV + procedural texture (ray-cone LOD proxy)
@@ -390,11 +384,13 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
             p_ref = p
             if test_ent:
                 w0 = 1.0 - th.u - th.v
-                pv0 = jnp.take(entities.prev_v0, tidx, axis=0)
-                pv1 = jnp.take(entities.prev_v1, tidx, axis=0)
-                pv2 = jnp.take(entities.prev_v2, tidx, axis=0)
+                from ..ops.gatherlib import fast_gather_multi as _fgm2
+                pvs = _fgm2(tuple(t[:, i] for t in (entities.prev_v0,
+                                                    entities.prev_v1,
+                                                    entities.prev_v2)
+                                  for i in range(3)), tidx)
                 p_prev_ent = tuple(
-                    w0 * pv0[..., i] + th.u * pv1[..., i] + th.v * pv2[..., i]
+                    w0 * pvs[i] + th.u * pvs[3 + i] + th.v * pvs[6 + i]
                     for i in range(3))
                 p_ref = m.where3(is_ent, p_prev_ent, p)
             up_h, vp_h, okp = hist_cam.point_to_uv(p_ref)

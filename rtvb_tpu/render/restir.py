@@ -60,10 +60,10 @@ def reconstruct_sample(state_kind, state_slot, state_face, fa, fb, sdir,
                        p, lights: LightTable, sky_state):
     """Re-derive (dir, dist, le) of a stored light sample at surface point p
     (prev-frame surface reconstruction role, Restir.h:348-381)."""
+    from ..ops.gatherlib import fast_gather_multi
     # local light: point on cube face from (slot, face, fa, fb)
-    bx = jnp.take(lights.px, jnp.clip(state_slot, 0, lights.px.shape[0] - 1))
-    by = jnp.take(lights.py, jnp.clip(state_slot, 0, lights.px.shape[0] - 1))
-    bz = jnp.take(lights.pz, jnp.clip(state_slot, 0, lights.px.shape[0] - 1))
+    cslot = jnp.clip(state_slot, 0, lights.px.shape[0] - 1)
+    bx, by, bz = fast_gather_multi((lights.px, lights.py, lights.pz), cslot)
     f = state_face
     fx = jnp.where(f == 0, 0.0, jnp.where(f == 1, 1.0, fa))
     fy = jnp.where(f == 2, 0.0, jnp.where(f == 3, 1.0, jnp.where(f < 2, fa, fb)))
@@ -72,7 +72,7 @@ def reconstruct_sample(state_kind, state_slot, state_face, fa, fb, sdir,
     to_l = m.sub(lp, p)
     dist_l = jnp.sqrt(jnp.maximum(m.length_sq(to_l), 1e-6))
     dir_local = m.scale(to_l, 1.0 / dist_l)
-    le_local = light_radiance(lights, jnp.clip(state_slot, 0, lights.px.shape[0] - 1))
+    le_local = light_radiance(lights, cslot)
 
     d_stored = (sdir[0], sdir[1], sdir[2])
     le_sun = sky_mod.sun_radiance(d_stored, sky_state)
@@ -133,7 +133,8 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
     valid = inb & depth_ok & normal_ok & (pk != KIND_NONE) & (depth < BIG)
 
     # light-ID remap across edits (Restir.h:52-79)
-    remapped = jnp.take(remap, jnp.clip(pslot, 0, remap.shape[0] - 1))
+    from ..ops.gatherlib import fast_gather
+    remapped = fast_gather(remap, jnp.clip(pslot, 0, remap.shape[0] - 1))
     local_gone = (pk == KIND_LOCAL) & (remapped < 0)
     pslot = jnp.where(pk == KIND_LOCAL, jnp.maximum(remapped, 0), pslot)
     valid = valid & ~local_gone

@@ -110,11 +110,12 @@ def sample_light_point(lt: LightTable, slot, u1, u2, u3, gather=None):
     Returns SoA position, outward face normal, and area pdf (1/6 per unit²
     face). TriangleLight::calcSample equivalent for cube lights."""
     if gather is None:
-        def gather(t, i):
-            return jnp.take(t, i)
-    bx = gather(lt.px, slot)
-    by = gather(lt.py, slot)
-    bz = gather(lt.pz, slot)
+        from ..ops.gatherlib import fast_gather_multi
+        bx, by, bz = fast_gather_multi((lt.px, lt.py, lt.pz), slot)
+    else:
+        bx = gather(lt.px, slot)
+        by = gather(lt.py, slot)
+        bz = gather(lt.pz, slot)
     face = jnp.clip((u1 * 6.0).astype(jnp.int32), 0, 5)
     a = u2
     b = u3
@@ -133,6 +134,6 @@ def sample_light_point(lt: LightTable, slot, u1, u2, u3, gather=None):
 
 def light_radiance(lt: LightTable, slot, gather=None):
     if gather is None:
-        def gather(t, i):
-            return jnp.take(t, i)
+        from ..ops.gatherlib import fast_gather_multi
+        return fast_gather_multi((lt.rad_r, lt.rad_g, lt.rad_b), slot)
     return (gather(lt.rad_r, slot), gather(lt.rad_g, slot), gather(lt.rad_b, slot))
