@@ -32,14 +32,16 @@ def main() -> int:
         "render_width": width, "render_height": height})
     eng = Engine(settings=settings, width=width, height=height, backend=backend)
 
-    # warmup/compile
-    eng.render_realtime()
-    eng.render_realtime()
+    # warmup/compile; timing endpoint = device-resident display buffer
+    # (matches the reference: frames never leave the GPU, Backend.cpp:454-485)
+    jax.block_until_ready(eng.render_realtime_device())
+    jax.block_until_ready(eng.render_realtime_device())
 
     t0 = time.perf_counter()
     out = None
     for _ in range(frames):
-        out = eng.render_realtime()
+        out = eng.render_realtime_device()
+    jax.block_until_ready(out)
     ms = (time.perf_counter() - t0) / frames * 1e3
 
     result = {

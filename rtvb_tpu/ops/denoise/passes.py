@@ -96,8 +96,12 @@ def temporal_accumulate(illum, moments_in, motion_u, motion_v, depth, normal,
     H, W = depth.shape
     u_cur = (jnp.arange(W) + 0.5)[None, :] / W
     v_cur = 1.0 - (jnp.arange(H) + 0.5)[:, None] / H
-    u_prev = u_cur + motion_u
-    v_prev = v_cur + motion_v
+    # invalid-motion sentinels (2.0) would scatter lookups to the image edge;
+    # TPU gathers are fast only for near-monotonic indices, so reproject
+    # invalid pixels to themselves and reject them via valid_mv instead
+    valid_mv = (jnp.abs(motion_u) < 1.5) & (jnp.abs(motion_v) < 1.5)
+    u_prev = u_cur + jnp.where(valid_mv, motion_u, 0.0)
+    v_prev = v_cur + jnp.where(valid_mv, motion_v, 0.0)
 
     prev_pack = jnp.concatenate([
         slow_hist, fast_hist, moments_hist,
@@ -113,7 +117,6 @@ def temporal_accumulate(illum, moments_in, motion_u, motion_v, depth, normal,
     s_len = sampled[..., 12]
 
     # disocclusion: relative depth difference + normal agreement
-    valid_mv = (jnp.abs(motion_u) < 1.5) & (jnp.abs(motion_v) < 1.5)
     depth_ok = jnp.abs(s_depth - depth) <= disocclusion_threshold * jnp.maximum(
         jnp.maximum(s_depth, depth), 1.0) * 20.0
     ndot = (s_norm * normal).sum(-1)

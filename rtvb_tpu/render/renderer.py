@@ -319,6 +319,29 @@ class Engine:
         self.history_camera = self.camera
         return np.asarray(out_u8)
 
+    def render_realtime_device(self, dt: float = 1.0 / 60.0):
+        """Like render_realtime but returns the device-resident u8 frame —
+        the display-buffer endpoint (the reference never copies frames to
+        host either: CUDA→GL interop, Backend.cpp:454-485). Benchmarks time
+        this; presenters fetch when they actually need pixels."""
+        from . import restir as restir_mod
+        if self.settings.rendering.use_restir and self.restir_state is None:
+            self.restir_state = restir_mod.initial_state(self.height, self.width)
+        if self.denoiser_state is None:
+            self.denoiser_state = initial_denoiser_state(self.height, self.width)
+        out_u8, new_restir, self.denoiser_state, self.post_state = self._frame_fn()(
+            self.world, self.materials, self.lights, self.sky_state,
+            self.camera, self.history_camera, self.frame_index,
+            self.restir_state, self._light_remap,
+            self.denoiser_state, self.post_state, jnp.float32(dt),
+            self.entity_buffers())
+        if new_restir is not None:
+            self.restir_state = new_restir
+        self._light_remap = jnp.arange(self.cfg.max_exceptions, dtype=jnp.int32)
+        self.frame_index += 1
+        self.history_camera = self.camera
+        return out_u8
+
     def reset_accumulation(self):
         self._accum = None
         self._accum_n = 0

@@ -108,10 +108,14 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
     H, W_img = depth.shape
     u_cur = (jnp.arange(W_img) + 0.5)[None, :] / W_img
     v_cur = 1.0 - (jnp.arange(H) + 0.5)[:, None] / H
-    px = jnp.clip(((u_cur + motion_u) * W_img - 0.5 + 0.5).astype(jnp.int32), 0, W_img - 1)
-    pyy = jnp.clip(((1.0 - (v_cur + motion_v)) * H - 0.5 + 0.5).astype(jnp.int32), 0, H - 1)
-    flatidx = pyy * W_img + px
+    # clamp invalid motion to identity — keeps gather indices near-monotonic
+    # (TPU fast-gather requirement); inb rejects those pixels downstream
     inb = (jnp.abs(motion_u) < 1.5) & (jnp.abs(motion_v) < 1.5)
+    mu = jnp.where(inb, motion_u, 0.0)
+    mv = jnp.where(inb, motion_v, 0.0)
+    px = jnp.clip(((u_cur + mu) * W_img - 0.5 + 0.5).astype(jnp.int32), 0, W_img - 1)
+    pyy = jnp.clip(((1.0 - (v_cur + mv)) * H - 0.5 + 0.5).astype(jnp.int32), 0, H - 1)
+    flatidx = pyy * W_img + px
 
     def samp(a):
         return jnp.take(a.reshape(-1), flatidx)
