@@ -216,14 +216,23 @@ def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
     return res
 
 
-def shade_reservoir(res: Reservoir, p, n, wo, mat, trace_any):
+def shade_reservoir(res: Reservoir, p, n, wo, mat, trace_any, live=None):
     """Final visibility ray + contribution of the RIS winner
     (closesthit.cu:787-845). Candidates carry MIS weights, so W = wsum/p̂."""
     W = jnp.where(res.target_pdf > 1e-9,
                   res.wsum / jnp.maximum(res.target_pdf, 1e-9),
                   0.0)
     origin = m.add(p, m.scale(n, SPAWN_EPS))
-    srec = trace_any(origin, res.dir, jnp.maximum(res.dist - 2.0 * SPAWN_EPS, 0.0))
+    sdir = res.dir
+    cap = jnp.maximum(res.dist - 2.0 * SPAWN_EPS, 0.0)
+    if live is not None:
+        # kill degenerate winners (p̂=0 → dir=(0,0,0)) and dead lanes
+        live2 = live & (res.target_pdf > 1e-9)
+        sdir = m.where3(live2, sdir, (jnp.zeros_like(origin[0]),
+                                      jnp.ones_like(origin[1]),
+                                      jnp.zeros_like(origin[2])))
+        cap = jnp.where(live2, cap, 0.0)
+    srec = trace_any(origin, sdir, cap)
     visible = ~srec.hit
     f, _ = B.evaluate(mat, n, wo, res.dir)
     cos_i = jnp.maximum(m.dot(n, res.dir), 0.0)
@@ -260,6 +269,14 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
     ju, jv = rs.next2()
     o, d = camera_rays(cam, W, height, ju, jv, y0=y0, rows=H)
 
+    # Dead/masked lanes must still flow through trace waves; give them a ray
+    # that misses instantly (origin above the world, pointing up) — otherwise
+    # one garbage ray per tile can pin the kernel's while-loop at max_steps.
+    def neutralize(oo, dd, live):
+        miss_o = (jnp.zeros_like(oo[0]), jnp.full_like(oo[1], 1e4), jnp.zeros_like(oo[2]))
+        miss_d = (jnp.zeros_like(dd[0]), jnp.ones_like(dd[1]), jnp.zeros_like(dd[2]))
+        return m.where3(live, oo, miss_o), m.where3(live, dd, miss_d)
+
     def trace_any(oo, dd, t_cap):
         srec = trace_fn(oo, dd, t_cap=t_cap, any_hit=True)
         if entities is not None and rs_cfg.entity_shadows:
@@ -290,6 +307,8 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
 
     for bounce in range(rs_cfg.total_bounce_limit):
         rs.dim = 8 + bounce * 64
+        if bounce > 0:
+            o, d = neutralize(o, d, alive)
         rec = trace_fn(o, d, t_cap=None, any_hit=False)
 
         # ---- entity/decoration triangles: brute-force composite hit ----
@@ -415,7 +434,12 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                     prev_restir, g_motion_u, g_motion_v, g_depth, n, p, wo,
                     mat, lights, sky_state, light_remap, u_take)
             origin = m.add(p, m.scale(n, SPAWN_EPS))
-            srec = trace_any(origin, dir2, jnp.maximum(dist2 - 2.0 * SPAWN_EPS, 0.0))
+            live2 = alive & (phat2 > 1e-9)
+            vdir = m.where3(live2, dir2, (jnp.zeros_like(origin[0]),
+                                          jnp.ones_like(origin[1]),
+                                          jnp.zeros_like(origin[2])))
+            vcap = jnp.where(live2, jnp.maximum(dist2 - 2.0 * SPAWN_EPS, 0.0), 0.0)
+            srec = trace_any(origin, vdir, vcap)
             visible = ~srec.hit
             fv, _ = B.evaluate(mat, n, wo, dir2)
             cos2 = jnp.maximum(m.dot(n, dir2), 0.0)
@@ -430,7 +454,7 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                 M=jnp.where(keep, M2, 0.0),
                 depth=g_depth, nx=n[0], ny=n[1], nz=n[2])
         else:
-            nee = shade_reservoir(res, p, n, wo, mat, trace_any)
+            nee = shade_reservoir(res, p, n, wo, mat, trace_any, live=alive)
         for i in range(3):
             L[i] = L[i] + jnp.where(alive, throughput[i] * nee[i], 0.0)
 

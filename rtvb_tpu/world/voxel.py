@@ -47,7 +47,7 @@ class WorldConfig:
     chunks_y: int = 1
     chunks_z: int = 2
     chunk_size: int = 32
-    max_exceptions: int = 256
+    max_exceptions: int = 128
 
     @property
     def x(self) -> int:
