@@ -51,6 +51,10 @@ class HitRecord(NamedTuple):
     nx: jnp.ndarray      # f32 face normal (axis aligned, unit)
     ny: jnp.ndarray
     nz: jnp.ndarray
+    # column metadata at the hit, fetched while the tables are hot in VMEM
+    # (schema word + exception bitmask; 0 when not requested / on miss)
+    schema: jnp.ndarray = None
+    exc_mask: jnp.ndarray = None
 
 
 def _bit_index_lsb(bits):
@@ -89,7 +93,8 @@ def _range_mask(ylo, yhi):
 
 
 def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = False,
-          gather=None, row_gather=None, maxh_row=None):
+          gather=None, row_gather=None, maxh_row=None,
+          schema2d=None, excmask2d=None):
     """Trace rays against the voxel world.
 
     o, d:       SoA ray origins / unit directions, any common shape S.
@@ -306,11 +311,21 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
     nx = jnp.where(axis == 0, -jnp.sign(dx), 0.0)
     ny = jnp.where(axis == 1, -jnp.sign(dy), 0.0)
     nz = jnp.where(axis == 2, -jnp.sign(dz), 0.0)
+
+    # optional hit-column metadata fetch while tables are VMEM-resident
+    # (one gather each instead of a 4096-wide XLA lookup later)
+    sch = em = None
+    if schema2d is not None:
+        c_hit = jnp.clip(s["hit_ix"] * Z + s["hit_iz"], 0, X * Z - 1)
+        sch = gather(schema2d, c_hit)
+        em = gather(excmask2d, c_hit)
+
     return HitRecord(
         hit=hit,
         t=jnp.where(hit, s["hit_t"], BIG),
         ix=s["hit_ix"], iy=s["hit_iy"], iz=s["hit_iz"],
         nx=nx, ny=ny, nz=nz,
+        schema=sch, exc_mask=em,
     )
 
 

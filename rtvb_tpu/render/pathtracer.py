@@ -77,19 +77,20 @@ class Reservoir(NamedTuple):
     fb: jnp.ndarray
 
 
-def resolve_block_id(cfg: WorldConfig, world: VoxelWorld, rec: HitRecord,
-                     gather=None):
-    """Block id at a hit: schema arithmetic + exception lookup via branchless
-    binary search of the sorted exception keys (replaces the reference's
+def resolve_block_id(cfg: WorldConfig, world: VoxelWorld, rec: HitRecord):
+    """Block id at a hit: schema arithmetic + exception lookup via one-hot
+    key match over the sorted exception list (replaces the reference's
     per-triangle materialIndex SBT lookup)."""
-    if gather is None:
-        def gather(t, i):
-            return jnp.take(t.reshape(-1), i)
     from ..ops.gatherlib import fast_gather, keyed_lookup
     c = jnp.clip(rec.ix * cfg.z + rec.iz, 0, cfg.n_cols - 1)
-    sch = fast_gather(world.schema.reshape(-1), c)
+    if rec.schema is not None:
+        # the trace kernel fetched these while the tables were in VMEM
+        sch = rec.schema
+        emask = rec.exc_mask
+    else:
+        sch = fast_gather(world.schema.reshape(-1), c)
+        emask = fast_gather(world.exc_mask.reshape(-1), c)
     bid = schema_block_id(sch, rec.iy)
-    emask = fast_gather(world.exc_mask.reshape(-1), c)
     has_exc = ((emask >> jnp.clip(rec.iy, 0, 31).astype(jnp.uint32))
                & jnp.uint32(1)) == 1
 

@@ -199,9 +199,12 @@ class Engine:
                     prev_restir, light_remap, ent):
                 def trace_fn(o, d, t_cap=None, any_hit=False):
                     impl = trace_kernel.trace if use_pallas else dda.trace
+                    kw = {}
+                    if use_pallas and not any_hit:
+                        kw = dict(schema2d=world.schema, excmask2d=world.exc_mask)
                     return impl(o, d, world.colmask, world.df_super[0], tp,
                                 t_cap=t_cap, any_hit=any_hit,
-                                maxh_row=world.maxh_super[0])
+                                maxh_row=world.maxh_super[0], **kw)
                 return pathtracer.render_frame(
                     cfg, world, mats, lights, sky_state, cam, hist_cam,
                     frame_idx, W, H, rs_cfg, trace_fn,
@@ -281,9 +284,12 @@ class Engine:
                     prev_restir, light_remap, dstate, post_state, dt, ent):
                 def trace_fn(o, d, t_cap=None, any_hit=False):
                     impl = trace_kernel.trace if use_pallas else dda.trace
+                    kw = {}
+                    if use_pallas and not any_hit:
+                        kw = dict(schema2d=world.schema, excmask2d=world.exc_mask)
                     return impl(o, d, world.colmask, world.df_super[0], tp,
                                 t_cap=t_cap, any_hit=any_hit,
-                                maxh_row=world.maxh_super[0])
+                                maxh_row=world.maxh_super[0], **kw)
                 g, new_restir = pathtracer.render_frame(
                     cfg, world, mats, lights, sky_state, cam, hist_cam,
                     frame_idx, W, H, rs_cfg, trace_fn,
