@@ -191,7 +191,8 @@ class InteractiveApp:
                     self.store.save(ui.selected_world or "default", eng.cfg,
                                     eng.world,
                                     camera={"pos": [float(v) for v in pose.pos],
-                                            "yaw": pose.yaw, "pitch": pose.pitch})
+                                            "yaw": float(pose.yaw),
+                                            "pitch": float(pose.pitch)})
             out = perf.timed("pathTracing", eng.render_realtime, dt)
             perf.end_frame()
             self.presenter.present(out, frame)
@@ -201,7 +202,7 @@ class InteractiveApp:
         # autosave on quit (Backend.cpp:236-237)
         self.store.save(ui.selected_world or "default", eng.cfg, eng.world,
                         camera={"pos": [float(v) for v in pose.pos],
-                                "yaw": pose.yaw, "pitch": pose.pitch})
+                                "yaw": float(pose.yaw), "pitch": float(pose.pitch)})
         return perf
 
 
