@@ -104,7 +104,9 @@ def dev_overlay_text(engine: Engine, timer: FrameTimer, cam_pose: CameraPose,
                      render_w: int) -> str:
     lines = [
         f"FPS {timer.fps:6.1f} | frame {engine.frame_index} | "
-        f"render {render_w}x{engine.height} -> {engine.width}x{engine.height}",
+        f"render {engine.width}x{engine.height} "
+        f"-> {engine.out_width}x{engine.out_height} "
+        f"(scale {engine.render_scale:.2f})",
         f"cam ({cam_pose.pos[0]:.2f}, {cam_pose.pos[1]:.2f}, {cam_pose.pos[2]:.2f}) "
         f"yaw {cam_pose.yaw:.2f} pitch {cam_pose.pitch:.2f}",
         f"lights {int(engine.lights.count)} | exceptions "
@@ -114,27 +116,49 @@ def dev_overlay_text(engine: Engine, timer: FrameTimer, cam_pose: CameraPose,
 
 
 # ---------------------------------------------------------------------------
-# Dynamic resolution (Backend.cpp:191-232: scale render width to hit target
-# FPS in 16 px steps)
+# Dynamic resolution (Backend.cpp:191-232 role).  The reference steps render
+# width by 16 px; under XLA every shape is a separate compilation, so the
+# TPU-native controller walks a small ladder of fixed scale rungs — each rung
+# compiles once (cached) and switching costs only a history reset.
 # ---------------------------------------------------------------------------
 
 class DynamicResolution:
-    def __init__(self, full_w: int, full_h: int, target_fps: float,
-                 min_scale: float = 0.5, step: int = 16):
-        self.full_w = full_w
-        self.full_h = full_h
-        self.target = target_fps
-        self.min_w = int(full_w * min_scale) // step * step
-        self.step = step
-        self.render_w = full_w
+    RUNGS = (1.0, 0.75, 2.0 / 3.0, 0.5)
 
-    def update(self, frame_ms: float) -> int:
+    def __init__(self, target_fps: float, min_scale: float = 0.5,
+                 start_scale: float = 1.0, hysteresis: int = 8):
+        self.target = target_fps
+        self.rungs = [r for r in self.RUNGS if r >= min_scale - 1e-6]
+        self.idx = min(range(len(self.rungs)),
+                       key=lambda i: abs(self.rungs[i] - start_scale))
+        self.hysteresis = hysteresis
+        self._streak = 0
+        self._ema = None
+
+    @property
+    def scale(self) -> float:
+        return self.rungs[self.idx]
+
+    def update(self, frame_ms: float) -> float:
+        """Feed one frame time; returns the scale to use next frame."""
+        self._ema = frame_ms if self._ema is None else \
+            0.8 * self._ema + 0.2 * frame_ms
         budget = 1000.0 / self.target
-        if frame_ms > budget * 1.05 and self.render_w > self.min_w:
-            self.render_w = max(self.min_w, self.render_w - self.step)
-        elif frame_ms < budget * 0.85 and self.render_w < self.full_w:
-            self.render_w = min(self.full_w, self.render_w + self.step)
-        return self.render_w
+        if self._ema > budget * 1.08:
+            self._streak = min(self._streak + 1, self.hysteresis)
+        elif self._ema < budget * 0.55:
+            self._streak = max(self._streak - 1, -self.hysteresis)
+        else:
+            self._streak = 0
+        if self._streak >= self.hysteresis and self.idx + 1 < len(self.rungs):
+            self.idx += 1
+            self._streak = 0
+            self._ema = None
+        elif self._streak <= -self.hysteresis and self.idx > 0:
+            self.idx -= 1
+            self._streak = 0
+            self._ema = None
+        return self.rungs[self.idx]
 
 
 # ---------------------------------------------------------------------------
@@ -163,6 +187,11 @@ class InteractiveApp:
                           self.scene.camera_yaw, self.scene.camera_pitch)
         timer = FrameTimer(self.settings.rendering.target_fps)
         perf = PerformanceTracker()
+        dynres = DynamicResolution(
+            self.settings.rendering.target_fps,
+            self.settings.rendering.min_render_scale,
+            start_scale=eng.render_scale) \
+            if self.settings.rendering.dynamic_resolution else None
         frame = 0
         while self.max_frames is None or frame < self.max_frames:
             dt = timer.tick()
@@ -193,8 +222,12 @@ class InteractiveApp:
                                     camera={"pos": [float(v) for v in pose.pos],
                                             "yaw": float(pose.yaw),
                                             "pitch": float(pose.pitch)})
+            t_render = time.perf_counter()
             out = perf.timed("pathTracing", eng.render_realtime, dt)
+            render_ms = (time.perf_counter() - t_render) * 1e3
             perf.end_frame()
+            if dynres is not None:
+                eng.set_render_scale(dynres.update(render_ms))
             self.presenter.present(out, frame)
             if frame % 30 == 0:
                 print(dev_overlay_text(eng, timer, pose, eng.width))

@@ -29,7 +29,8 @@ class RenderingSettings:
     target_fps: float = 60.0
     dynamic_resolution: bool = True
     min_render_scale: float = 0.5
-    render_width: int = 1920
+    render_scale: float = 1.0           # internal res = output × scale
+    render_width: int = 1920            # output (display) resolution
     render_height: int = 1080
     use_restir: bool = True
     restir_m_cap: int = 20              # closesthit.cu M-cap 20
@@ -54,7 +55,9 @@ class DenoisingSettings:
     phi_luminance: float = 2.0
     phi_normal: float = 64.0
     phi_depth: float = 0.05
-    disocclusion_threshold: float = 0.01
+    # relative depth tolerance for history reprojection (applied directly —
+    # round 1 multiplied a 0.01 default by a hidden 20× fudge)
+    disocclusion_threshold: float = 0.2
 
 
 @dataclass(frozen=True)

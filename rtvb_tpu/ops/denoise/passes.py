@@ -18,21 +18,19 @@ BIG = 1e30
 
 
 def _shift(img, dy: int, dx: int):
-    """Shifted copy with edge clamp (static offsets → cheap on TPU)."""
-    out = img
-    if dy:
-        out = jnp.roll(out, dy, axis=0)
-        if dy > 0:
-            out = out.at[:dy].set(out[dy])
-        else:
-            out = out.at[dy:].set(out[dy - 1])
-    if dx:
-        out = jnp.roll(out, dx, axis=1)
-        if dx > 0:
-            out = out.at[:, :dx].set(out[:, dx:dx + 1])
-        else:
-            out = out.at[:, dx:].set(out[:, dx - 1:dx])
-    return out
+    """Shifted copy with edge clamp (static offsets → cheap on TPU).
+
+    Implemented as one edge-pad + a static slice: XLA fuses the slices of a
+    shared padded array into the consuming stencil (the roll + two scatter
+    formulation forced ~3 full-frame copies per tap)."""
+    if not dy and not dx:
+        return img
+    H, W = img.shape[0], img.shape[1]
+    py, px = abs(dy), abs(dx)
+    pad = [(py, py), (px, px)] + [(0, 0)] * (img.ndim - 2)
+    padded = jnp.pad(img, pad, mode="edge")
+    # roll(+dy) semantics: out[y] = img[y - dy] (edge-clamped)
+    return padded[py - dy:py - dy + H, px - dx:px - dx + W]
 
 
 # ---------------------------------------------------------------------------
@@ -97,28 +95,37 @@ def temporal_accumulate(illum, moments_in, motion_u, motion_v, depth, normal,
     u_cur = (jnp.arange(W) + 0.5)[None, :] / W
     v_cur = 1.0 - (jnp.arange(H) + 0.5)[:, None] / H
     # invalid-motion sentinels (2.0) would scatter lookups to the image edge;
-    # TPU gathers are fast only for near-monotonic indices, so reproject
-    # invalid pixels to themselves and reject them via valid_mv instead
+    # reproject invalid pixels to themselves and reject them via valid_mv
     valid_mv = (jnp.abs(motion_u) < 1.5) & (jnp.abs(motion_v) < 1.5)
     u_prev = u_cur + jnp.where(valid_mv, motion_u, 0.0)
     v_prev = v_cur + jnp.where(valid_mv, motion_v, 0.0)
 
-    prev_pack = jnp.concatenate([
-        slow_hist, fast_hist, moments_hist,
-        prev_depth[..., None], prev_normal,
-        hist_len[..., None],
-    ], axis=-1)
-    sampled, inb = bilinear_sample(prev_pack, u_prev, v_prev)
-    s_slow = sampled[..., 0:3]
-    s_fast = sampled[..., 3:6]
-    s_mom = sampled[..., 6:8]
-    s_depth = sampled[..., 8]
-    s_norm = sampled[..., 9:12]
-    s_len = sampled[..., 12]
+    # warped history fetch: Pallas windowed-gather kernel on TPU
+    # (TemporalAccumulation.h:228-448 reprojection reads)
+    from ..warp_kernel import dispatch_bilinear
+    prev_pack = jnp.stack([
+        slow_hist[..., 0], slow_hist[..., 1], slow_hist[..., 2],
+        fast_hist[..., 0], fast_hist[..., 1], fast_hist[..., 2],
+        moments_hist[..., 0], moments_hist[..., 1],
+        prev_depth,
+        prev_normal[..., 0], prev_normal[..., 1], prev_normal[..., 2],
+        hist_len,
+    ])
+    sx = u_prev * W - 0.5
+    sy = (1.0 - v_prev) * H - 0.5
+    sampled, inb = dispatch_bilinear(prev_pack, sy, sx)
+    s_slow = jnp.moveaxis(sampled[0:3], 0, -1)
+    s_fast = jnp.moveaxis(sampled[3:6], 0, -1)
+    s_mom = jnp.moveaxis(sampled[6:8], 0, -1)
+    s_depth = sampled[8]
+    s_norm = jnp.moveaxis(sampled[9:12], 0, -1)
+    s_len = sampled[12]
 
-    # disocclusion: relative depth difference + normal agreement
+    # disocclusion: relative depth difference + normal agreement.  The
+    # threshold is the *relative depth tolerance* directly (no hidden fudge
+    # factors; default set in DenoisingSettings.disocclusion_threshold).
     depth_ok = jnp.abs(s_depth - depth) <= disocclusion_threshold * jnp.maximum(
-        jnp.maximum(s_depth, depth), 1.0) * 20.0
+        jnp.maximum(s_depth, depth), 1.0)
     ndot = (s_norm * normal).sum(-1)
     normal_ok = ndot > 0.5
     surf_ok = inb & valid_mv & depth_ok & normal_ok & (depth < BIG)

@@ -83,17 +83,23 @@ def _use_onehot() -> bool:
 def fast_gather(table, idx):
     """Small-table gather tuned per backend.
 
-    On TPU, XLA lowers `jnp.take` with *computed* indices into a fusion whose
-    gather runs ~50× slower than a one-hot select-sum (measured: 35 ms vs
-    0.8 ms per 2M indices from a 256-entry table on v5e).  On CPU, take wins.
-    table: (N,) any dtype; idx: any shape int. Exact for all dtypes.
+    On TPU *outside Pallas*, every index-driven HLO (`jnp.take`,
+    `take_along_axis`) lowers to XLA's serial gather (~15-20 ms per 2M
+    indices — measured).  A one-hot compare-select-sum instead fuses into the
+    surrounding elementwise code with zero memory traffic: ~N register ops
+    per element, which wins decisively for the engine's small tables
+    (materials ~32, lights ≤128).  Inside Pallas kernels use
+    lane_gather/table_gather (hardware lane shuffles) instead.
+    idx is clamped to [0, N) on every backend (identical semantics).
+    table: (N,) any dtype; idx: any shape int.
     """
     table = jnp.asarray(table)
-    if not _use_onehot() or table.shape[0] > 8192:
-        return jnp.take(table, jnp.clip(idx, 0, table.shape[0] - 1))
     n = table.shape[0]
-    ids = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (n,), idx.ndim)
-    oh = ids == idx[..., None]
+    cid = jnp.clip(idx, 0, n - 1)
+    if not _use_onehot() or n > 8192:
+        return jnp.take(table, cid)
+    ids = jax.lax.broadcasted_iota(jnp.int32, cid.shape + (n,), cid.ndim)
+    oh = ids == cid[..., None]
     zero = jnp.zeros((), table.dtype)
     return jnp.where(oh, table, zero).sum(-1, dtype=table.dtype) \
         if jnp.issubdtype(table.dtype, jnp.integer) \
@@ -103,12 +109,12 @@ def fast_gather(table, idx):
 def fast_gather_multi(tables, idx):
     """Gather the same index from several (N,) tables, sharing the one-hot."""
     tables = [jnp.asarray(t) for t in tables]
-    if not _use_onehot() or tables[0].shape[0] > 8192:
-        cid = jnp.clip(idx, 0, tables[0].shape[0] - 1)
-        return tuple(jnp.take(t, cid) for t in tables)
     n = tables[0].shape[0]
-    ids = jax.lax.broadcasted_iota(jnp.int32, idx.shape + (n,), idx.ndim)
-    oh = ids == idx[..., None]
+    cid = jnp.clip(idx, 0, n - 1)
+    if not _use_onehot() or n > 8192:
+        return tuple(jnp.take(t, cid) for t in tables)
+    ids = jax.lax.broadcasted_iota(jnp.int32, cid.shape + (n,), cid.ndim)
+    oh = ids == cid[..., None]
     out = []
     for t in tables:
         zero = jnp.zeros((), t.dtype)
@@ -120,7 +126,8 @@ def fast_gather_multi(tables, idx):
 
 def keyed_lookup(keys, values, query, default=0):
     """value at the (unique) slot where keys == query, else default — one
-    one-hot pass replacing a binary search (keys need not be sorted)."""
+    fused one-hot pass on TPU (replaces the reference's device binary
+    search, closesthit.cu:854-901); binary search on CPU."""
     keys = jnp.asarray(keys)
     values = jnp.asarray(values)
     if not _use_onehot():
@@ -135,13 +142,12 @@ def keyed_lookup(keys, values, query, default=0):
         lo = jnp.clip(lo, 0, keys.shape[0] - 1)
         found = jnp.take(keys, lo) == query
         return jnp.where(found, jnp.take(values, lo), default), found
-    m = keys[None, :] == query[..., None] if query.ndim == 1 else \
-        keys.reshape((1,) * query.ndim + (-1,)) == query[..., None]
-    found = m.any(-1)
+    mm = keys.reshape((1,) * query.ndim + (-1,)) == query[..., None]
+    found = mm.any(-1)
     zero = jnp.zeros((), values.dtype)
-    val = jnp.where(m, values, zero).sum(-1, dtype=values.dtype) \
+    val = jnp.where(mm, values, zero).sum(-1, dtype=values.dtype) \
         if jnp.issubdtype(values.dtype, jnp.integer) \
-        else jnp.where(m, values, zero).sum(-1)
+        else jnp.where(mm, values, zero).sum(-1)
     return jnp.where(found, val, default), found
 
 

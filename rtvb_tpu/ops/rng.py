@@ -38,6 +38,14 @@ def to_unit_float(bits):
     return bits.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
 
 
+# R2 strides as fixed-point uint32 (round(stride · 2³²)): the golden-ratio
+# frame advance runs in exact modular arithmetic, so the sequence never
+# degrades however large the frame counter grows (float32 frame·stride loses
+# fractional precision past ~5e5 frames — a couple of hours at 60 fps).
+_PHI2_X_U32 = jnp.uint32(3242174889)   # round(0.7548776662466927 * 2**32)
+_PHI2_Y_U32 = jnp.uint32(2447445413)   # round(0.5698402909980532 * 2**32)
+
+
 def rand(px, py, frame, dim):
     """Low-discrepancy sample in [0,1) keyed by (pixel, frame, dimension).
 
@@ -46,10 +54,10 @@ def rand(px, py, frame, dim):
     good temporal accumulation behavior without stored tiles.
     """
     px = jnp.asarray(px)
-    base = to_unit_float(hash_combine(px, py * jnp.uint32(9277), dim * jnp.uint32(26699)))
-    stride = jnp.where((jnp.asarray(dim) & 1) == 0, _PHI2_X, _PHI2_Y)
-    v = base + (jnp.asarray(frame, jnp.float32) * stride)
-    return v - jnp.floor(v)
+    base_bits = hash_combine(px, py * jnp.uint32(9277), dim * jnp.uint32(26699))
+    stride = jnp.where((jnp.asarray(dim) & 1) == 0, _PHI2_X_U32, _PHI2_Y_U32)
+    bits = base_bits + jnp.asarray(frame, jnp.uint32) * stride   # mod 2³²
+    return to_unit_float(bits)
 
 
 def rand2(px, py, frame, dim):

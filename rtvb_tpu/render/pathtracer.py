@@ -137,16 +137,21 @@ def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
 
     def stream(res, wi, dist, le, src_pdf, u, kind, slot=None, face=None,
                fa=None, fb=None, mis_w=1.0):
-        """Weighted reservoir update. mis_w is the multi-strategy MIS weight
-        (1/N within a strategy): candidates estimate the SUM of the local/
-        sun/sky integrals, so w = m·p̂/p and the final W = wsum/p̂ carries no
-        M division (GRIS convention)."""
-        f, _ = B.evaluate(mat, n, wo, wi)
+        """Weighted reservoir update. mis_w is the within-strategy MIS weight
+        (1/N): candidates estimate the SUM of the local/sun/sky integrals, so
+        w = m·p̂/p and the final W = wsum/p̂ carries no M division (GRIS
+        convention).  Each candidate additionally carries the light-vs-BRDF
+        balance weight p_nee/(p_nee + p_bsdf) (LightBrdfMisWeight role,
+        Restir.h:286-328): the BSDF continuation ray adds the complementary
+        p_bsdf/(p_bsdf + p_nee) share on emissive/sky hits, keeping the total
+        weight for direct light at exactly 1."""
+        f, pdf_b = B.evaluate(mat, n, wo, wi)
         cos_i = jnp.maximum(m.dot(n, wi), 0.0)
         contrib = tuple(fc * cos_i * lc for fc, lc in zip(f, le))
         p_hat = m.luminance(contrib)
+        balance = src_pdf / jnp.maximum(src_pdf + pdf_b, 1e-9)
         w = jnp.where(src_pdf > 1e-9,
-                      mis_w * p_hat / jnp.maximum(src_pdf, 1e-9), 0.0)
+                      mis_w * balance * p_hat / jnp.maximum(src_pdf, 1e-9), 0.0)
         wsum = res.wsum + w
         take_it = (u * jnp.maximum(wsum, 1e-20)) < w
         sel = lambda a, b: jnp.where(take_it, a, b)

@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..core.config import PostProcessingSettings, ToneMappingSettings
@@ -140,8 +142,155 @@ def tone_map(rgb, tm: ToneMappingSettings, exposure_log2):
 
 
 # ---------------------------------------------------------------------------
-# Upscale (FSR-EASU role: edge-adaptive; here Catmull-Rom + RCAS sharpen)
+# Upscale — EASU (ScalingFilter.h:124 role) + Catmull-Rom bicubic fallback
 # ---------------------------------------------------------------------------
+
+def _src_base(out_size: int, in_size: int):
+    pos = (jnp.arange(out_size) + 0.5) * in_size / out_size - 0.5
+    base = jnp.floor(pos).astype(jnp.int32)
+    return base, (pos - base).astype(jnp.float32)
+
+
+def _take_rational(img, out_size: int, axis: int, delta: int):
+    """img[..., base+delta, ...] along `axis` where base is the upscale
+    source index — gather-free on TPU: for a rational out:in ratio p:q the
+    index sequence is periodic (base[i+p] = base[i]+q), so each of the p
+    phases is one q-strided slice; phases interleave with a reshape.  Falls
+    back to jnp.take when the ratio isn't small-rational (CPU path, odd
+    sizes)."""
+    import math
+    in_size = img.shape[axis]
+    g = math.gcd(out_size, in_size)
+    p, q = out_size // g, in_size // g
+    base = np.floor((np.arange(out_size) + 0.5) * in_size / out_size - 0.5
+                    ).astype(np.int64) + delta
+    if p > 8:
+        idx = jnp.asarray(np.clip(base, 0, in_size - 1), jnp.int32)
+        return jnp.take(img, idx, axis=axis)
+    # pad the axis so every phase slice [start : start + q*g : q] is in range
+    lo_pad = max(0, -int(base[:p].min()))
+    hi_pad = max(0, int(base[-p:].max()) + 1 - in_size)
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (lo_pad, hi_pad)
+    imgp = jnp.pad(img, pad, mode="edge") if (lo_pad or hi_pad) else img
+    phases = []
+    for r in range(p):
+        start = int(base[r]) + lo_pad
+        sl = [slice(None)] * img.ndim
+        sl[axis] = slice(start, start + q * g, q) if q * g > 1 else \
+            slice(start, start + 1)
+        phases.append(imgp[tuple(sl)])
+    # interleave phases: stack on a new minor axis then merge
+    st = jnp.stack(phases, axis=axis + 1)
+    new_shape = list(img.shape)
+    new_shape[axis] = out_size
+    return st.reshape(new_shape)
+
+
+def easu(img, out_h: int, out_w: int):
+    """Edge-adaptive spatial upsampling (FSR-1.0-EASU-class,
+    ScalingFilter.h:124 role): per output pixel, a direction-adaptive
+    elliptical negative-lobe kernel over the 12-tap window
+
+            b c
+          e f g h
+          i j k l
+            m n
+
+    Direction and anisotropy come from luma gradients at the inner 2×2 quad
+    (bilinearly blended at the sample point); the kernel is stretched along
+    the detected edge and sharpened across it; the result is clamped to the
+    inner-quad min/max (deringing)."""
+    H, W = img.shape[:2]
+    if H == out_h and W == out_w:
+        return img
+    by, fy = _src_base(out_h, H)
+    bx, fx = _src_base(out_w, W)
+    fy = fy[:, None, None]
+    fx = fx[None, :, None]
+
+    rows = {dy: _take_rational(img, out_h, 0, dy) for dy in (-1, 0, 1, 2)}
+
+    def tap(dy, dx):
+        return _take_rational(rows[dy], out_w, 1, dx)
+
+    # 12 taps
+    b_ = tap(-1, 0); c_ = tap(-1, 1)
+    e_ = tap(0, -1); f_ = tap(0, 0); g_ = tap(0, 1); h_ = tap(0, 2)
+    i_ = tap(1, -1); j_ = tap(1, 0); k_ = tap(1, 1); l_ = tap(1, 2)
+    m_ = tap(2, 0); n_ = tap(2, 1)
+
+    def luma(t):
+        return 0.5 * t[..., 1] + 0.25 * (t[..., 0] + t[..., 2])
+
+    lb, lc = luma(b_), luma(c_)
+    le, lf, lg, lh = luma(e_), luma(f_), luma(g_), luma(h_)
+    li, lj, lk, ll = luma(i_), luma(j_), luma(k_), luma(l_)
+    lm, ln = luma(m_), luma(n_)
+
+    # per-quad-corner direction + contrast, bilinearly blended at (fx, fy)
+    fx2, fy2 = fx[..., 0], fy[..., 0]
+    wf = (1 - fx2) * (1 - fy2)
+    wg = fx2 * (1 - fy2)
+    wj = (1 - fx2) * fy2
+    wk = fx2 * fy2
+
+    def corner(lA, lB, lC, lD, lE):
+        """Plus-shaped neighborhood of a quad corner: center lC,
+        left lA, right lB, up lD, down lE → (dirx, diry, len)."""
+        dx_ = lB - lA
+        dy_ = lE - lD
+        rng_x = jnp.abs(lA - lC) + jnp.abs(lB - lC)
+        rng_y = jnp.abs(lD - lC) + jnp.abs(lE - lC)
+        # feature length: edge purity along each axis
+        lenx = jnp.square(jnp.clip(jnp.abs(dx_) / jnp.maximum(rng_x, 1e-4), 0, 1))
+        leny = jnp.square(jnp.clip(jnp.abs(dy_) / jnp.maximum(rng_y, 1e-4), 0, 1))
+        return dx_, dy_, lenx + leny
+
+    dfx, dfy, flen = corner(le, lg, lf, lb, lj)
+    dgx, dgy, glen = corner(lf, lh, lg, lc, lk)
+    djx, djy, jlen = corner(li, lk, lj, lf, lm)
+    dkx, dky, klen = corner(lj, ll, lk, lg, ln)
+
+    dirx = dfx * wf + dgx * wg + djx * wj + dkx * wk
+    diry = dfy * wf + dgy * wg + djy * wj + dky * wk
+    length = flen * wf + glen * wg + jlen * wj + klen * wk
+
+    dr2 = dirx * dirx + diry * diry
+    has_dir = dr2 > 1e-8
+    inv = jnp.where(has_dir, 1.0 / jnp.sqrt(jnp.maximum(dr2, 1e-8)), 0.0)
+    dirx_n = jnp.where(has_dir, dirx * inv, 1.0)
+    diry_n = diry * inv
+
+    # anisotropy: stretch along the edge, keep unit across it
+    stretch = 1.0 + length * 1.0            # in [1, 3]
+    inv_along = 1.0 / stretch
+
+    acc = jnp.zeros((out_h, out_w, img.shape[-1]))
+    wsum = jnp.zeros((out_h, out_w, 1))
+    taps = [(-1, 0, b_), (-1, 1, c_), (0, -1, e_), (0, 0, f_), (0, 1, g_),
+            (0, 2, h_), (1, -1, i_), (1, 0, j_), (1, 1, k_), (1, 2, l_),
+            (2, 0, m_), (2, 1, n_)]
+    for dy, dx, t in taps:
+        vx = dx - fx2
+        vy = dy - fy2
+        # rotate into the edge frame: a = along edge, c = across
+        along = vx * dirx_n + vy * diry_n
+        across = -vx * diry_n + vy * dirx_n
+        d2 = jnp.square(along * inv_along) + jnp.square(across)
+        d2 = jnp.minimum(d2, 4.0)
+        # negative-lobe polynomial window (lanczos2-like, FSR constant set)
+        base_w = jnp.square(0.4 * d2 - 1.0) * (25.0 / 16.0) - (25.0 / 16.0 - 1.0)
+        w = jnp.maximum(base_w, 0.0)[..., None]
+        acc = acc + t * w
+        wsum = wsum + w
+    out = acc / jnp.maximum(wsum, 1e-5)
+
+    # deringing: clamp to the inner quad's bbox
+    qmin = jnp.minimum(jnp.minimum(f_, g_), jnp.minimum(j_, k_))
+    qmax = jnp.maximum(jnp.maximum(f_, g_), jnp.maximum(j_, k_))
+    return jnp.clip(out, qmin, qmax)
+
 
 def _catmull_rom_1d(img, out_size: int, axis: int):
     in_size = img.shape[axis]
@@ -169,11 +318,13 @@ def _catmull_rom_1d(img, out_size: int, axis: int):
             + take(i2) * wr(w2) + take(i3) * wr(w3))
 
 
-def upscale(img, out_h: int, out_w: int):
-    """Catmull-Rom bicubic resample (BicubicFilter.h; stands in for EASU —
-    edge adaptivity handled by the sharpen pass that follows)."""
+def upscale(img, out_h: int, out_w: int, mode: str = "easu"):
+    """Resample to the output resolution: "easu" (edge-adaptive,
+    ScalingFilter.h:124 role) or "bicubic" (Catmull-Rom, BicubicFilter.h)."""
     if img.shape[0] == out_h and img.shape[1] == out_w:
         return img
+    if mode == "easu":
+        return easu(img, out_h, out_w)
     t = _catmull_rom_1d(img, out_h, 0)
     return _catmull_rom_1d(t, out_w, 1)
 
@@ -223,7 +374,7 @@ def run(rgb_linear, state: PostState, pp: PostProcessingSettings,
         x = vignette(x, pp)
     y = tone_map(x, tm, exp)
     if pp.upscale != "none":
-        y = upscale(y, out_h, out_w)
+        y = upscale(y, out_h, out_w, pp.upscale)
     if pp.sharpen:
         y = sharpen(y, pp.sharpen_strength)
     if pp.crosshair:

@@ -44,8 +44,14 @@ class Engine:
                  backend: str = "xla"):
         self.settings = settings or Settings()
         self.scene = scene or SceneConfig()
-        self.width = width or self.settings.rendering.render_width
-        self.height = height or self.settings.rendering.render_height
+        # output (display) resolution vs internal render resolution:
+        # the engine path-traces and denoises at out×render_scale and
+        # upscales in post (Backend.cpp:191-232 dynamic resolution +
+        # ScalingFilter.h EASU role)
+        self.out_width = width or self.settings.rendering.render_width
+        self.out_height = height or self.settings.rendering.render_height
+        self.render_scale = float(self.settings.rendering.render_scale)
+        self.width, self.height = self._internal_size(self.render_scale)
         self.backend = backend
 
         # assets (main.cpp:30-34 init order)
@@ -64,7 +70,7 @@ class Engine:
             pos=self.scene.camera_pos, yaw=self.scene.camera_yaw,
             pitch=self.scene.camera_pitch,
             fov_y_degrees=self.settings.camera_movement.fov_y_degrees,
-            aspect=self.width / self.height)
+            aspect=self.out_width / self.out_height)
         self.history_camera = self.camera
 
         self.frame_index = 0
@@ -82,7 +88,35 @@ class Engine:
         self.entities: list = []
         self._decor_dirty = True
         self._decor_tris = None
+        self._entity_cache = None
         self.max_entity_tris = 256
+
+    # ------------------------------------------------------------------
+    # internal render resolution (dynamic resolution support)
+    # ------------------------------------------------------------------
+
+    def _internal_size(self, scale: float) -> tuple[int, int]:
+        """Internal render size = output × scale, rounded to even pixels.
+        Exact rational rungs (3/4, 2/3, 1/2) keep the EASU tap pattern
+        periodic (gather-free); the Pallas kernels pad odd sizes anyway."""
+        w = max(8, int(round(self.out_width * scale / 2.0)) * 2)
+        h = max(8, int(round(self.out_height * scale / 2.0)) * 2)
+        return min(w, self.out_width), min(h, self.out_height)
+
+    def set_render_scale(self, scale: float):
+        """Switch the internal render resolution (dynamic-resolution rung).
+        Per-resolution state (ReSTIR reservoirs, denoiser history,
+        accumulation) resets; compiled pipelines are cached per size."""
+        w, h = self._internal_size(scale)
+        if (w, h) == (self.width, self.height):
+            self.render_scale = scale
+            return
+        self.render_scale = scale
+        self.width, self.height = w, h
+        self.restir_state = None
+        self.denoiser_state = None
+        self._accum = None
+        self._accum_n = 0
 
     # ------------------------------------------------------------------
     # entity / decoration triangle soup
@@ -129,8 +163,12 @@ class Engine:
 
     def entity_buffers(self):
         """Fixed-size EntityBuffers for the intersector, or None when the
-        scene has no triangle content (static shape across frames)."""
-        from ..ops import triangles as tri_ops
+        scene has no triangle content (static shape across frames).  With no
+        live entities the device buffers are cached until an edit — no
+        per-frame host rebuild/upload (OptixRenderer.cpp:487-555 role)."""
+        if not self.entities and not self._decor_dirty \
+                and self._entity_cache is not None:
+            return self._entity_cache
 
         dv0, dv1, dv2, dmat = self._decoration_triangles()
         v0s, v1s, v2s, mats = [dv0], [dv1], [dv2], [dmat]
@@ -152,6 +190,7 @@ class Engine:
                                 np.int32))
         v0 = np.concatenate(v0s)
         if len(v0) == 0:
+            self._entity_cache = None
             return None
         v1 = np.concatenate(v1s)
         v2 = np.concatenate(v2s)
@@ -170,12 +209,13 @@ class Engine:
         nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
         packed = np.concatenate([v0, v1 - v0, v2 - v0], axis=-1)
         packed = np.concatenate([packed, np.zeros((pad, 9), np.float32)])
-        return pathtracer.EntityBuffers(
+        self._entity_cache = pathtracer.EntityBuffers(
             tri_packed=jnp.asarray(packed),
             normals=padv(nrm),
             prev_v0=padv(pv0), prev_v1=padv(pv1), prev_v2=padv(pv2),
             mat_index=jnp.asarray(np.concatenate([mat, np.zeros(pad, np.int32)])),
         )
+        return self._entity_cache
 
     # ------------------------------------------------------------------
     # compiled pipelines
@@ -215,11 +255,11 @@ class Engine:
         return self._compiled[key]
 
     def _post_fn(self):
-        key = ("post", self.width, self.height)
+        key = ("post", self.width, self.height, self.out_width, self.out_height)
         if key not in self._compiled:
             pp = self.settings.post_processing
             tm = self.settings.tone_mapping
-            out_h, out_w = self.height, self.width
+            out_h, out_w = self.out_height, self.out_width
 
             def run(rgb, state, dt):
                 return postprocess.run(rgb, state, pp, tm, dt, out_h, out_w)
@@ -265,7 +305,8 @@ class Engine:
         denoise → post → u8, all state device-resident.  One dispatch + one
         small (u8) device→host copy per frame."""
         use_restir = self.settings.rendering.use_restir
-        key = ("frame", self.width, self.height, use_restir)
+        key = ("frame", self.width, self.height, self.out_width,
+               self.out_height, use_restir)
         if key not in self._compiled:
             tp = self._tp
             rs_cfg = self.settings.rendering
@@ -274,6 +315,7 @@ class Engine:
             tm = self.settings.tone_mapping
             cfg = self.cfg
             W, H = self.width, self.height
+            out_h, out_w = self.out_height, self.out_width
             use_pallas = self.backend == "pallas" or (
                 self.backend == "auto" and jax.default_backend() == "tpu")
             if use_pallas:
@@ -296,7 +338,8 @@ class Engine:
                     prev_restir=prev_restir if use_restir else None,
                     light_remap=light_remap, entities=ent)
                 rgb, new_dstate = _denoise_jit(g, dstate, dn_cfg)
-                out, new_pstate = postprocess.run(rgb, post_state, pp, tm, dt, H, W)
+                out, new_pstate = postprocess.run(rgb, post_state, pp, tm, dt,
+                                                  out_h, out_w)
                 out_u8 = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
                 return out_u8, new_restir, new_dstate, new_pstate
 
@@ -394,4 +437,4 @@ class Engine:
             yaw=yaw if yaw is not None else float(cam.yaw),
             pitch=pitch if pitch is not None else float(cam.pitch),
             fov_y_degrees=self.settings.camera_movement.fov_y_degrees,
-            aspect=self.width / self.height)
+            aspect=self.out_width / self.out_height)

@@ -100,39 +100,48 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
                      prev: ReSTIRState, motion_u, motion_v,
                      depth, n, p, wo, mat,
                      lights: LightTable, sky_state, remap, u_take,
-                     disocclusion_threshold: float = 0.1):
+                     disocclusion_threshold: float = 0.2):
     """Merge the current-frame RIS reservoir with the reprojected previous
     reservoir (GRIS with confidence weights: each input reservoir is one
     candidate with w = c/(c_cur+c_prev) · p̂(sample at current surface) · W;
     final W = wsum/p̂_winner). Returns merged reservoir fields + final W."""
+    import jax.lax as lax
+
     H, W_img = depth.shape
     u_cur = (jnp.arange(W_img) + 0.5)[None, :] / W_img
     v_cur = 1.0 - (jnp.arange(H) + 0.5)[:, None] / H
-    # clamp invalid motion to identity — keeps gather indices near-monotonic
-    # (TPU fast-gather requirement); inb rejects those pixels downstream
+    # clamp invalid motion to identity; inb rejects those pixels downstream
     inb = (jnp.abs(motion_u) < 1.5) & (jnp.abs(motion_v) < 1.5)
     mu = jnp.where(inb, motion_u, 0.0)
     mv = jnp.where(inb, motion_v, 0.0)
-    px = jnp.clip(((u_cur + mu) * W_img - 0.5 + 0.5).astype(jnp.int32), 0, W_img - 1)
-    pyy = jnp.clip(((1.0 - (v_cur + mv)) * H - 0.5 + 0.5).astype(jnp.int32), 0, H - 1)
-    flatidx = pyy * W_img + px
 
-    def samp(a):
-        return jnp.take(a.reshape(-1), flatidx)
+    # nearest-warped reservoir fetch via the Pallas windowed-gather kernel
+    # (prev-frame reservoir read role, closesthit.cu:636-705); int fields
+    # ride as f32 bit patterns — the gather is pure shuffle, no arithmetic
+    from ..ops.warp_kernel import dispatch_nearest
+    bc = lambda a: lax.bitcast_convert_type(a, jnp.float32)
+    pack = jnp.stack([
+        bc(prev.kind), bc(prev.slot), bc(prev.face), prev.fa, prev.fb,
+        prev.dx, prev.dy, prev.dz, prev.W, prev.M, prev.depth,
+        prev.nx, prev.ny, prev.nz,
+    ])
+    sx = (u_cur + mu) * W_img - 0.5
+    sy = (1.0 - (v_cur + mv)) * H - 0.5
+    got, wvalid = dispatch_nearest(pack, sy, sx)
+    inb = inb & wvalid
+    pk = lax.bitcast_convert_type(got[0], jnp.int32)
+    pslot = lax.bitcast_convert_type(got[1], jnp.int32)
+    pface = lax.bitcast_convert_type(got[2], jnp.int32)
+    pfa, pfb = got[3], got[4]
+    pdir = (got[5], got[6], got[7])
+    pW = got[8]
+    pM = got[9]
+    pdepth = got[10]
+    pn = (got[11], got[12], got[13])
 
-    pk = samp(prev.kind)
-    pslot = samp(prev.slot)
-    pface = samp(prev.face)
-    pfa = samp(prev.fa)
-    pfb = samp(prev.fb)
-    pdir = (samp(prev.dx), samp(prev.dy), samp(prev.dz))
-    pW = samp(prev.W)
-    pM = samp(prev.M)
-    pdepth = samp(prev.depth)
-    pn = (samp(prev.nx), samp(prev.ny), samp(prev.nz))
-
-    # surface similarity (closesthit.cu:636-705)
-    depth_ok = jnp.abs(pdepth - depth) <= disocclusion_threshold * jnp.maximum(depth, 1.0) * 2.0
+    # surface similarity (closesthit.cu:636-705); threshold is the relative
+    # depth tolerance directly (round-1 had a hidden 2× fudge)
+    depth_ok = jnp.abs(pdepth - depth) <= disocclusion_threshold * jnp.maximum(depth, 1.0)
     normal_ok = m.dot(pn, n) > 0.8
     valid = inb & depth_ok & normal_ok & (pk != KIND_NONE) & (depth < BIG)
 
