@@ -49,24 +49,111 @@ def torch_mesh():
     return np.stack(v0), np.stack(v1), np.stack(v2)
 
 
+def _box(lo, hi):
+    """12 triangles of an axis-aligned box [lo, hi], outward winding."""
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    faces = [
+        ((x0, y0, z0), (0, 0, z1 - z0), (0, y1 - y0, 0)),   # -x
+        ((x1, y0, z0), (0, y1 - y0, 0), (0, 0, z1 - z0)),   # +x
+        ((x0, y0, z0), (x1 - x0, 0, 0), (0, 0, z1 - z0)),   # -y
+        ((x0, y1, z0), (0, 0, z1 - z0), (x1 - x0, 0, 0)),   # +y
+        ((x0, y0, z0), (0, y1 - y0, 0), (x1 - x0, 0, 0)),   # -z
+        ((x0, y0, z1), (x1 - x0, 0, 0), (0, y1 - y0, 0)),   # +z
+    ]
+    # quad (o, o+eu, o+eu+ev, o+ev) → tris (o, o+eu, o+eu+ev), (o, o+eu+ev, o+ev)
+    v0, v1, v2 = [], [], []
+    for o, eu, ev in faces:
+        o = np.array(o, np.float32)
+        eu = np.array(eu, np.float32)
+        ev = np.array(ev, np.float32)
+        v0 += [o, o]
+        v1 += [o + eu, o + eu + ev]
+        v2 += [o + eu + ev, o + ev]
+    return np.stack(v0), np.stack(v1), np.stack(v2)
+
+
+def lantern_mesh():
+    """Lantern = base cage (non-emissive) + inner glow box (light mesh).
+    The light/base pairing of the reference's BlockManager (lantern = light
+    mesh + base mesh, docs/ASSET_SYSTEM_GUIDE.md) — the base occludes,
+    only the glow box reaches the light table."""
+    base_parts = [
+        _box((0.15, 0.0, 0.15), (0.85, 0.08, 0.85)),    # bottom plate
+        _box((0.15, 0.78, 0.15), (0.85, 0.88, 0.85)),   # top cap
+        _box((0.44, 0.88, 0.44), (0.56, 1.0, 0.56)),    # hanger knob
+    ]
+    v0 = np.concatenate([p[0] for p in base_parts])
+    v1 = np.concatenate([p[1] for p in base_parts])
+    v2 = np.concatenate([p[2] for p in base_parts])
+    return v0, v1, v2
+
+
+def lantern_light_mesh():
+    return _box((0.28, 0.08, 0.28), (0.72, 0.78, 0.72))
+
+
+def torch_light_mesh():
+    """Small flame box atop the torch handle."""
+    return _box((0.42, 0.7, 0.42), (0.58, 0.88, 0.58))
+
+
+# name → (base mesh fn | None, base material override | None)
 DECORATION_MESHES = {
     "flower": flower_mesh,
     "torch": torch_mesh,
+    "lantern": lantern_mesh,
+}
+
+# name → emissive light sub-mesh (joins the triangle-light table;
+# rendered with the block's emissive material)
+LIGHT_MESHES = {
+    "lantern": lantern_light_mesh,
+    "torch": torch_light_mesh,
+}
+
+# base material per decoration (None → the block's own material)
+BASE_MATERIALS = {
+    "lantern": "trunk",
+    "torch": "plank",
 }
 
 
-def decoration_triangles(name: str, positions: np.ndarray):
+def light_mesh(name: str):
+    """(v0, v1, v2) of the emissive sub-mesh, or None."""
+    fn = LIGHT_MESHES.get(name)
+    return fn() if fn else None
+
+
+def decoration_triangles(name: str, positions: np.ndarray,
+                         include_light: bool = True):
     """Instance a decoration mesh at voxel min-corner positions (N, 3).
-    Returns (v0, v1, v2) stacked over all instances."""
+    Returns (v0, v1, v2, is_light) stacked over all instances; is_light
+    marks the emissive sub-mesh triangles (light table members)."""
     mesh_fn = DECORATION_MESHES.get(name)
-    if mesh_fn is None or len(positions) == 0:
+    parts = []
+    if mesh_fn is not None:
+        v0, v1, v2 = mesh_fn()
+        parts.append((v0, v1, v2, np.zeros(len(v0), bool)))
+    lm = light_mesh(name) if include_light else None
+    if lm is not None:
+        v0, v1, v2 = lm
+        parts.append((v0, v1, v2, np.ones(len(v0), bool)))
+    if not parts or len(positions) == 0:
         z = np.zeros((0, 3), np.float32)
-        return z, z, z
-    v0, v1, v2 = mesh_fn()
-    outs = [[], [], []]
+        return z, z, z, np.zeros(0, bool)
+    mv0 = np.concatenate([p[0] for p in parts])
+    mv1 = np.concatenate([p[1] for p in parts])
+    mv2 = np.concatenate([p[2] for p in parts])
+    ml = np.concatenate([p[3] for p in parts])
+    outs = [[], [], [], []]
     for p in positions:
         p = np.asarray(p, np.float32)
-        outs[0].append(v0 + p)
-        outs[1].append(v1 + p)
-        outs[2].append(v2 + p)
-    return tuple(np.concatenate(o) for o in outs)
+        outs[0].append(mv0 + p)
+        outs[1].append(mv1 + p)
+        outs[2].append(mv2 + p)
+        outs[3].append(ml)
+    return (np.concatenate(outs[0]), np.concatenate(outs[1]),
+            np.concatenate(outs[2]), np.concatenate(outs[3]))

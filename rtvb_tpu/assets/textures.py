@@ -101,6 +101,46 @@ def sample_scale(tex_id, u, v, lod=None):
     return jnp.where(tex_id < 0, 1.0, scale)
 
 
+def sample_normal_delta(tex_id, u, v, lod=None, eps: float = 0.004):
+    """Procedural height-field gradient (du, dv) for normal perturbation —
+    the TPU-native normal map (closesthit.cu:241-254 role).  Central
+    differences of the same pattern `sample_scale` uses, so shading detail
+    and normal detail stay registered; the ray-cone LOD rolls the gradient
+    off with distance exactly like a sampled normal mip chain would."""
+    s_up = sample_scale(tex_id, u + eps, v, lod)
+    s_un = sample_scale(tex_id, u - eps, v, lod)
+    s_vp = sample_scale(tex_id, u, v + eps, lod)
+    s_vn = sample_scale(tex_id, u, v - eps, lod)
+    du = (s_up - s_un) / (2.0 * eps)
+    dv = (s_vp - s_vn) / (2.0 * eps)
+    return du, dv
+
+
+def perturb_normal(n, du, dv, strength: float = 0.06):
+    """Bend an axis-aligned face normal by the height gradient in its
+    triplanar tangent frame.  The tangent/bitangent of the dominant axis
+    match triplanar_uv's (u, v) projection."""
+    import jax.numpy as _jnp
+    from ..ops import mathutil as _m
+    nx, ny, nz = n
+    ax = _jnp.abs(nx)
+    ay = _jnp.abs(ny)
+    on_x = ax > 0.5
+    on_y = (~on_x) & (ay > 0.5)
+    # u axis: x-face → z, y-face → x, z-face → x (matches triplanar_uv)
+    tu = (_jnp.where(on_x, 0.0, 1.0),
+          _jnp.zeros_like(nx),
+          _jnp.where(on_x, 1.0, 0.0))
+    # v axis: x-face → y, y-face → z, z-face → y
+    tv = (_jnp.zeros_like(nx),
+          _jnp.where(on_y, 0.0, 1.0),
+          _jnp.where(on_y, 1.0, 0.0))
+    bent = (nx - strength * (du * tu[0] + dv * tv[0]),
+            ny - strength * (du * tu[1] + dv * tv[1]),
+            nz - strength * (du * tu[2] + dv * tv[2]))
+    return _m.normalize(bent)
+
+
 def triplanar_uv(px, py, pz, nx, ny, nz):
     """World-grid triplanar UVs from hit position + axis face normal
     (closesthit.cu:169-186 equivalent: project onto the dominant axis)."""

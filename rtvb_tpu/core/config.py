@@ -34,7 +34,8 @@ class RenderingSettings:
     render_height: int = 1080
     use_restir: bool = True
     restir_m_cap: int = 20              # closesthit.cu M-cap 20
-    restir_temporal_samples: int = 3
+    restir_temporal_samples: int = 3    # temporal taps (closesthit.cu:636)
+    normal_mapping: bool = True         # procedural normal perturbation
     entity_shadows: bool = True         # entities block NEE visibility rays
     entity_in_bounces: bool = False     # entities visible in indirect bounces
 

@@ -22,6 +22,9 @@ import jax.numpy as jnp
 from . import mathutil as m
 
 ROUGHNESS_THRESHOLD = 0.02    # below: treat as perfect mirror (Bsdf.h:5)
+SMOOTH_TRANS_ROUGHNESS = 0.1  # below: translucency = specular pass-through
+                              # (glass/water; Bsdf.h:94-118 specular branch).
+                              # At or above: diffuse thin transmission (leaves).
 MAX_THROUGHPUT = 32.0         # disneyMaxThroughput (Bsdf.h:10)
 MIN_LOBE_PROB = 0.05
 MIN_COS = 1e-4
@@ -114,7 +117,10 @@ def evaluate(mat: Material, n, wo, wi):
     diff = tuple(a * diff_scale for a in mat.albedo)
 
     # thin diffuse transmission: albedo-tinted lambert through the surface
-    trans_scale = (1.0 - mat.metallic) * mat.translucency / jnp.pi
+    # (smooth translucents transmit as a delta lobe instead — excluded here)
+    is_smooth_trans = mat.roughness < SMOOTH_TRANS_ROUGHNESS
+    trans_scale = jnp.where(is_smooth_trans, 0.0,
+                            (1.0 - mat.metallic) * mat.translucency / jnp.pi)
     trans = tuple(a * trans_scale for a in mat.albedo)
 
     is_mirror = mat.roughness < ROUGHNESS_THRESHOLD
@@ -135,7 +141,8 @@ def evaluate(mat: Material, n, wo, wi):
     pdf_trans = jnp.maximum(-cos_i, 0.0) / jnp.pi
     pdf = (p_diff * jnp.where(reflect_side, pdf_diff, 0.0)
            + jnp.where(is_mirror, 0.0, p_spec * jnp.where(reflect_side, pdf_spec, 0.0))
-           + p_trans * jnp.where(trans_side, pdf_trans, 0.0))
+           + jnp.where(is_smooth_trans, 0.0,
+                       p_trans * jnp.where(trans_side, pdf_trans, 0.0)))
     return f, pdf
 
 
@@ -171,15 +178,19 @@ def sample(mat: Material, n, wo, u1, u2, u3) -> BsdfSample:
     wi_mirror = m.reflect(m.neg(wo), n)
     wi_s = m.where3(is_mirror, wi_mirror, wi_s)
 
-    # --- lobe 2: diffuse transmission (flip hemisphere) ---
-    wi_t = m.neg(wi_d)
+    # --- lobe 2: transmission --- diffuse flip for rough translucents
+    # (leaves), straight-through delta for smooth ones (glass/water,
+    # Bsdf.h:94-118 specular transmission role)
+    smooth_trans = mat.roughness < SMOOTH_TRANS_ROUGHNESS
+    wi_t = m.where3(smooth_trans, m.neg(wo), m.neg(wi_d))
 
     # --- select lobe by u1 ---
     sel_spec = u1 < p_spec
     sel_trans = (~sel_spec) & (u1 < p_spec + p_trans)
     wi = m.where3(sel_spec, wi_s, m.where3(sel_trans, wi_t, wi_d))
 
-    delta = sel_spec & is_mirror
+    delta_trans = sel_trans & smooth_trans
+    delta = (sel_spec & is_mirror) | delta_trans
 
     f, pdf = evaluate(mat, n, wo, wi)
     cos_i = jnp.abs(m.dot(n, wi))
@@ -191,8 +202,15 @@ def sample(mat: Material, n, wo, u1, u2, u3) -> BsdfSample:
     # energy balance: the mirror lobe is chosen with prob p_spec
     w_delta = tuple(jnp.clip(Fc / jnp.maximum(p_spec, MIN_LOBE_PROB), 0.0, MAX_THROUGHPUT)
                     for Fc in Fd)
+    # delta transmission: albedo tint, normalized by the lobe probability
+    trans_w = mat.translucency * (1.0 - mat.metallic)
+    w_dtrans = tuple(
+        jnp.clip(a * trans_w / jnp.maximum(p_trans, MIN_LOBE_PROB),
+                 0.0, MAX_THROUGHPUT) for a in mat.albedo)
 
-    weight = tuple(jnp.where(delta, wd, wr) for wd, wr in zip(w_delta, w_rough))
+    weight = tuple(
+        jnp.where(delta_trans, wt, jnp.where(delta, wd, wr))
+        for wt, wd, wr in zip(w_dtrans, w_delta, w_rough))
     valid = (pdf > 0.0) | delta
     weight = tuple(jnp.where(valid, w, 0.0) for w in weight)
 

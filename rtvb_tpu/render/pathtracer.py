@@ -47,6 +47,8 @@ class EntityBuffers(NamedTuple):
     prev_v1: jnp.ndarray
     prev_v2: jnp.ndarray
     mat_index: jnp.ndarray    # (T,) i32 material index per triangle
+    light_slot: jnp.ndarray   # (T,) i32 light-table slot, -1 = not a light
+                              # (instanceLightMapping role, Light.h:6-11)
 
 
 class GBuffers(NamedTuple):
@@ -169,7 +171,8 @@ def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
             fb=sel(fb if fb is not None else zf, res.fb),
         )
 
-    # local light candidates
+    # local light candidates: triangle lights (TriangleLight::calcSample +
+    # calcSolidAnglePdf, Light.h:42-137)
     n_slots = lights.prob.shape[0]
     any_lights = lights.count > 0
     for _ in range(n_local):
@@ -183,7 +186,7 @@ def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
         slot = jnp.where(frac < pr, col, al)
         pmf = fast_gather(lights.pmf, slot)
 
-        lp, ln, pdf_area, face = sample_light_point(lights, slot, u1, u2, u3)
+        lp, ln, pdf_area, (fa, fb) = sample_light_point(lights, slot, u1, u2, u3)
         to_l = m.sub(lp, p)
         dist2 = jnp.maximum(m.length_sq(to_l), 1e-6)
         dist = jnp.sqrt(dist2)
@@ -194,7 +197,7 @@ def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
         le = light_radiance(lights, slot)
         le = m.where3((cos_l > 0.0) & any_lights, le, m.splat(0.0, le[0]))
         res = stream(res, wi, dist, le, pdf_sa, u_take, restir_mod.KIND_LOCAL,
-                     slot=slot, face=face, fa=u2, fb=u3, mis_w=1.0 / n_local)
+                     slot=slot, fa=fa, fb=fb, mis_w=1.0 / n_local)
 
     # sun candidate: uniform cone around sun_dir
     u1, u2 = rs.next2()
@@ -378,17 +381,56 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                            albedo_g=mat.albedo_g * tex,
                            albedo_b=mat.albedo_b * tex)
 
+        # procedural normal mapping at the primary hit (closesthit.cu:241-254
+        # role): bend the face normal by the texture height gradient in the
+        # triplanar tangent frame.  Geometric normal stays in the G-buffer
+        # (denoiser edge stopping wants stable normals); shading uses the
+        # bent one.  Secondary bounces keep flat normals (invisible detail,
+        # 4 extra noise evals saved per bounce).
+        n_geom = n
+        if bounce == 0 and rs_cfg.normal_mapping:
+            du_t, dv_t = textures.sample_normal_delta(
+                tex_id, u * uv_scale, v * uv_scale, lod)
+            n_bent = textures.perturb_normal(n, du_t, dv_t)
+            n = m.where3(is_ent | ~rec.hit, n, n_bent)
+
         is_emissive = (emis[0] + emis[1] + emis[2]) > 0.0
 
         # emissive hit: add light, terminate (closesthit.cu:107-122)
         if bounce == 0:
             mis_e = jnp.ones((H, W))
         else:
-            # MIS vs NEE local-light sampling of this face — proxy with the
-            # bsdf pdf dominant term (reference uses the same light-vs-BRDF
-            # balance, Restir.h:286-328)
+            # exact light-vs-BRDF balance: reconstruct the NEE solid-angle
+            # pdf of sampling this emissive point from the previous vertex —
+            # pmf(light tri)·(1/area)·dist²/cosθ, the complement of the
+            # candidate-side balance weight in _nee_ris.stream.
+            # Entity hits (lantern glow box) map triangle → light slot via
+            # EntityBuffers.light_slot (instanceLightMapping role); voxel
+            # hits (cube emissives) look up the first triangle of the voxel.
+            from ..ops.gatherlib import fast_gather as _fg, \
+                fast_gather_multi as _fgm_l, keyed_lookup as _kl
+            c_hit = jnp.clip(rec.ix * cfg.z + rec.iz, 0, cfg.n_cols - 1)
+            key_e = (c_hit * cfg.y + rec.iy) * 16
+            slot_v, found_v = _kl(lights.key,
+                                  jnp.arange(lights.key.shape[0],
+                                             dtype=jnp.int32), key_e)
+            if test_ent:
+                slot_t = _fg(entities.light_slot, tidx)
+                slot_e = jnp.where(is_ent, slot_t, slot_v)
+                found_e = jnp.where(is_ent, slot_t >= 0, found_v)
+            else:
+                slot_e, found_e = slot_v, found_v
+            slot_e = jnp.clip(slot_e, 0, lights.key.shape[0] - 1)
+            pmf_e, area_e = _fgm_l((lights.pmf, lights.area), slot_e)
+            cos_le = jnp.abs(n[0] * d[0] + n[1] * d[1] + n[2] * d[2])
+            pdf_nee_e = jnp.where(
+                found_e,
+                pmf_e * rec.t * rec.t
+                / (jnp.maximum(area_e, 1e-8) * jnp.maximum(cos_le, 1e-4)),
+                0.0)
             mis_e = jnp.where(prev_delta, 1.0,
-                              prev_cos_pdf / jnp.maximum(prev_cos_pdf + 0.25, 1e-9))
+                              prev_cos_pdf / jnp.maximum(
+                                  prev_cos_pdf + pdf_nee_e, 1e-9))
         hit_emis = alive & is_emissive
         for i in range(3):
             L[i] = L[i] + jnp.where(hit_emis, throughput[i] * emis[i] * mis_e, 0.0)
@@ -397,7 +439,7 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
             first_hit = rec.hit
             for i in range(3):
                 g_albedo[i] = jnp.where(first_hit, (mat.albedo_r, mat.albedo_g, mat.albedo_b)[i], 1.0)
-                g_normal[i] = jnp.where(first_hit, n[i], g_normal[i])
+                g_normal[i] = jnp.where(first_hit, n_geom[i], g_normal[i])
             g_depth = jnp.where(first_hit, rec.t, BIG)
             g_rough = jnp.where(first_hit, mat.roughness, 1.0)
             g_emissive = hit_emis
@@ -431,14 +473,16 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                        n, wo, mat, rs_cfg.local_light_candidates, trace_any,
                        sun_cos_max)
         if bounce == 0 and use_restir:
-            u_take = rs.next()
+            n_taps = max(1, rs_cfg.restir_temporal_samples)
+            u_takes = tuple(rs.next() for _ in range(n_taps))
             (k2, s2, f2, fa2, fb2, dir2, dist2, le2, phat2, wsum2, M2, W2) = \
                 restir_mod.temporal_combine(
                     res.kind, res.slot, res.face, res.fa, res.fb, res.dir,
                     res.dist, res.le, res.wsum,
                     res.m_count.astype(jnp.float32), res.target_pdf,
                     prev_restir, g_motion_u, g_motion_v, g_depth, n, p, wo,
-                    mat, lights, sky_state, light_remap, u_take)
+                    mat, lights, sky_state, light_remap, u_takes,
+                    frame_idx=frame_u, n_taps=n_taps)
             origin = m.add(p, m.scale(n, SPAWN_EPS))
             live2 = alive & (phat2 > 1e-9)
             vdir = m.where3(live2, dir2, (jnp.zeros_like(origin[0]),
@@ -470,7 +514,10 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
             break
         u1, u2, u3 = rs.next3()
         samp = B.sample(mat, n, wo, u1, u2, u3)
-        is_diffuse_lobe = ~samp.is_delta & (mat.roughness > 0.35) | samp.is_transmission
+        # delta lobes (mirror, glass pass-through) never consume the diffuse
+        # budget; rough surfaces and diffuse thin transmission do
+        is_diffuse_lobe = ~samp.is_delta & ((mat.roughness > 0.35)
+                                            | samp.is_transmission)
         diffuse_count = diffuse_count + jnp.where(alive & is_diffuse_lobe, 1, 0)
         over_diffuse = diffuse_count > rs_cfg.diffuse_bounce_limit
         # path regularization after a diffuse bounce (closesthit.cu:219-222)
@@ -482,9 +529,26 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         zero_tp = (throughput[0] + throughput[1] + throughput[2]) < 1e-6
         alive = alive & ~over_diffuse & ~zero_tp
 
+        # transmission through a terrain voxel: spawn from the *exit* face of
+        # the cube (the voxel is solid in the traversal tables; restarting
+        # inside it would re-hit immediately).  Entities are true thin
+        # surfaces — a back-side epsilon suffices.
+        wi = samp.wi
+        ex = jnp.where(wi[0] > 0, rec.ix + 1.0, rec.ix.astype(jnp.float32))
+        ey = jnp.where(wi[1] > 0, rec.iy + 1.0, rec.iy.astype(jnp.float32))
+        ez = jnp.where(wi[2] > 0, rec.iz + 1.0, rec.iz.astype(jnp.float32))
+        safe = lambda v: jnp.where(jnp.abs(v) < 1e-6,
+                                   jnp.where(v >= 0, 1e-6, -1e-6), v)
+        t_exit = jnp.minimum(jnp.minimum((ex - p[0]) / safe(wi[0]),
+                                         (ey - p[1]) / safe(wi[1])),
+                             (ez - p[2]) / safe(wi[2]))
+        t_exit = jnp.clip(t_exit, 0.0, 1.75)
+        o_exit = m.add(p, m.scale(wi, t_exit + SPAWN_EPS))
+        trans_voxel = samp.is_transmission & ~is_ent
         side = jnp.where(samp.is_transmission, -1.0, 1.0)
-        o = m.add(p, m.scale(n, SPAWN_EPS * side))
-        d = samp.wi
+        o_surf = m.add(p, m.scale(n, SPAWN_EPS * side))
+        o = m.where3(trans_voxel, o_exit, o_surf)
+        d = wi
         prev_delta = samp.is_delta
         prev_cos_pdf = samp.pdf
         prev_n = n

@@ -63,6 +63,7 @@ class Engine:
         self.cfg, self.world = gen.generate_world(seed=self.scene.world_seed)
         self.lights = lighting.build_light_table(
             self.cfg, self.world, self.materials, self.block_registry)
+        self._n_lights = int(self.lights.count)
 
         # sky + camera
         self.sky_state = sky_mod.make_sky_state(self.settings.sky)
@@ -77,7 +78,7 @@ class Engine:
         self.post_state = postprocess.initial_post_state()
         self.denoiser_state: DenoiserState | None = None
         self.restir_state = None
-        self._light_remap = jnp.arange(self.cfg.max_exceptions, dtype=jnp.int32)
+        self._light_remap = jnp.arange(lighting.MAX_LIGHT_TRIS, dtype=jnp.int32)
         self._accum = None
         self._accum_n = 0
 
@@ -126,38 +127,58 @@ class Engine:
         self.entities.append(entity)
 
     def _nonsolid_ids(self):
-        return tuple(b.id for b in self.block_registry.blocks
-                     if b.instanced and not b.emissive)
+        """Instanced blocks are never solid cubes — rays see their meshes
+        (including emissive lantern/torch: base occludes, glow box emits)."""
+        return tuple(b.id for b in self.block_registry.blocks if b.instanced)
 
     def _decoration_triangles(self):
         """Scan the world for instanced decoration blocks → triangle soup
-        (geometryInstanceIdMap role, rebuilt on edits)."""
+        with per-triangle materials + light-table slots
+        (geometryInstanceIdMap + instanceLightMapping roles, rebuilt on
+        edits)."""
         if not self._decor_dirty and self._decor_tris is not None:
             return self._decor_tris
         from ..assets import decorations as deco
         blocks = np.asarray(self.world.blocks)
-        v0s, v1s, v2s, mats = [], [], [], []
+        cfg = self.cfg
+        v0s, v1s, v2s, mats, slots = [], [], [], [], []
         for b in self.block_registry.blocks:
-            if not b.instanced or b.emissive:
+            if not b.instanced:
                 continue
-            pos = np.argwhere(blocks == b.id).astype(np.float32)
+            pos = np.argwhere(blocks == b.id)
             if len(pos) == 0:
                 continue
-            v0, v1, v2 = deco.decoration_triangles(b.name, pos)
-            if len(v0) == 0 and b.name not in deco.DECORATION_MESHES:
-                continue
-            v0s.append(v0)
-            v1s.append(v1)
-            v2s.append(v2)
-            mats.append(np.full(len(v0),
-                                self.material_registry.index_of(b.material),
-                                np.int32))
+            base_mat = self.material_registry.index_of(
+                deco.BASE_MATERIALS.get(b.name, b.material))
+            light_mat = self.material_registry.index_of(b.material)
+            for (x, y, z) in pos:
+                v0, v1, v2, is_light = deco.decoration_triangles(
+                    b.name, np.array([[x, y, z]], np.float32))
+                if len(v0) == 0:
+                    continue
+                v0s.append(v0)
+                v1s.append(v1)
+                v2s.append(v2)
+                mats.append(np.where(is_light, light_mat, base_mat
+                                     ).astype(np.int32))
+                # light triangles → table slots by (voxel key, ordinal)
+                vkey = (int(x) * cfg.z + int(z)) * cfg.y + int(y)
+                sl = np.full(len(v0), -1, np.int32)
+                ordinal = 0
+                for t in range(len(v0)):
+                    if is_light[t]:
+                        sl[t] = lighting.light_slot_of(self.lights, vkey,
+                                                       ordinal)
+                        ordinal += 1
+                slots.append(sl)
         if v0s:
             self._decor_tris = (np.concatenate(v0s), np.concatenate(v1s),
-                                np.concatenate(v2s), np.concatenate(mats))
+                                np.concatenate(v2s), np.concatenate(mats),
+                                np.concatenate(slots))
         else:
             z = np.zeros((0, 3), np.float32)
-            self._decor_tris = (z, z, z, np.zeros(0, np.int32))
+            zi = np.zeros(0, np.int32)
+            self._decor_tris = (z, z, z, zi, zi)
         self._decor_dirty = False
         return self._decor_tris
 
@@ -170,8 +191,9 @@ class Engine:
                 and self._entity_cache is not None:
             return self._entity_cache
 
-        dv0, dv1, dv2, dmat = self._decoration_triangles()
+        dv0, dv1, dv2, dmat, dslot = self._decoration_triangles()
         v0s, v1s, v2s, mats = [dv0], [dv1], [dv2], [dmat]
+        slots = [dslot]
         pv0s, pv1s, pv2s = [dv0], [dv1], [dv2]
         for e in self.entities:
             if e._cur_pos is None:
@@ -188,6 +210,7 @@ class Engine:
             mats.append(np.full(len(cv0),
                                 self.material_registry.index_of(e.material),
                                 np.int32))
+            slots.append(np.full(len(cv0), -1, np.int32))
         v0 = np.concatenate(v0s)
         if len(v0) == 0:
             self._entity_cache = None
@@ -209,11 +232,14 @@ class Engine:
         nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
         packed = np.concatenate([v0, v1 - v0, v2 - v0], axis=-1)
         packed = np.concatenate([packed, np.zeros((pad, 9), np.float32)])
+        slot = np.concatenate(slots)
         self._entity_cache = pathtracer.EntityBuffers(
             tri_packed=jnp.asarray(packed),
             normals=padv(nrm),
             prev_v0=padv(pv0), prev_v1=padv(pv1), prev_v2=padv(pv2),
             mat_index=jnp.asarray(np.concatenate([mat, np.zeros(pad, np.int32)])),
+            light_slot=jnp.asarray(np.concatenate(
+                [slot, np.full(pad, -1, np.int32)])),
         )
         return self._entity_cache
 
@@ -221,12 +247,24 @@ class Engine:
     # compiled pipelines
     # ------------------------------------------------------------------
 
+    @property
+    def _n_local(self) -> int:
+        """Local-light RIS candidate count, specialized at compile time:
+        a scene with no emissive blocks streams zero local candidates
+        (the lantern-free canonical scene skips 8 reservoir updates/vertex;
+        placing a light recompiles once, cached per state)."""
+        return self.settings.rendering.local_light_candidates \
+            if self._n_lights > 0 else 0
+
     def _pt_fn(self):
         use_restir = self.settings.rendering.use_restir
-        key = ("pt", self.width, self.height, use_restir)
+        n_local = self._n_local
+        key = ("pt", self.width, self.height, use_restir, n_local)
         if key not in self._compiled:
+            import dataclasses as _dc
             tp = self._tp
-            rs_cfg = self.settings.rendering
+            rs_cfg = _dc.replace(self.settings.rendering,
+                                 local_light_candidates=n_local)
             cfg = self.cfg
             W, H = self.width, self.height
 
@@ -282,7 +320,7 @@ class Engine:
             self.entity_buffers())
         if new_state is not None:
             self.restir_state = new_state
-        self._light_remap = jnp.arange(self.cfg.max_exceptions, dtype=jnp.int32)
+        self._light_remap = jnp.arange(lighting.MAX_LIGHT_TRIS, dtype=jnp.int32)
         self.frame_index += 1
         return g
 
@@ -305,11 +343,14 @@ class Engine:
         denoise → post → u8, all state device-resident.  One dispatch + one
         small (u8) device→host copy per frame."""
         use_restir = self.settings.rendering.use_restir
+        n_local = self._n_local
         key = ("frame", self.width, self.height, self.out_width,
-               self.out_height, use_restir)
+               self.out_height, use_restir, n_local)
         if key not in self._compiled:
+            import dataclasses as _dc
             tp = self._tp
-            rs_cfg = self.settings.rendering
+            rs_cfg = _dc.replace(self.settings.rendering,
+                                 local_light_candidates=n_local)
             dn_cfg = self.settings.denoising
             pp = self.settings.post_processing
             tm = self.settings.tone_mapping
@@ -363,7 +404,7 @@ class Engine:
             self.entity_buffers())
         if new_restir is not None:
             self.restir_state = new_restir
-        self._light_remap = jnp.arange(self.cfg.max_exceptions, dtype=jnp.int32)
+        self._light_remap = jnp.arange(lighting.MAX_LIGHT_TRIS, dtype=jnp.int32)
         self.frame_index += 1
         self.history_camera = self.camera
         return np.asarray(out_u8)
@@ -386,7 +427,7 @@ class Engine:
             self.entity_buffers())
         if new_restir is not None:
             self.restir_state = new_restir
-        self._light_remap = jnp.arange(self.cfg.max_exceptions, dtype=jnp.int32)
+        self._light_remap = jnp.arange(lighting.MAX_LIGHT_TRIS, dtype=jnp.int32)
         self.frame_index += 1
         self.history_camera = self.camera
         return out_u8
@@ -403,9 +444,18 @@ class Engine:
         prev = self.world
         self.world = voxel.set_block(self.cfg, self.world, x, y, z, block_id,
                                      self._nonsolid_ids())
+        n_exc = voxel.exception_count(self.cfg, self.world)
+        if n_exc > self.cfg.max_exceptions:
+            import warnings
+            warnings.warn(
+                f"exception table overflow: {n_exc} deviating voxels > "
+                f"capacity {self.cfg.max_exceptions} — highest-key edits "
+                f"will render as their column schema block", stacklevel=2)
+        prev_lights = self.lights
         self.lights = lighting.build_light_table(
             self.cfg, self.world, self.materials, self.block_registry)
-        remap = lighting.light_id_remap(prev, self.world)
+        self._n_lights = int(self.lights.count)
+        remap = lighting.light_id_remap(prev_lights, self.lights)
         self._light_remap = remap   # consumed by the next frame's ReSTIR
         self._decor_dirty = True
         return remap

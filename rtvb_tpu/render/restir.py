@@ -59,16 +59,11 @@ def initial_state(h: int, w: int) -> ReSTIRState:
 def reconstruct_sample(state_kind, state_slot, state_face, fa, fb, sdir,
                        p, lights: LightTable, sky_state):
     """Re-derive (dir, dist, le) of a stored light sample at surface point p
-    (prev-frame surface reconstruction role, Restir.h:348-381)."""
-    from ..ops.gatherlib import fast_gather_multi
-    # local light: point on cube face from (slot, face, fa, fb)
-    cslot = jnp.clip(state_slot, 0, lights.px.shape[0] - 1)
-    bx, by, bz = fast_gather_multi((lights.px, lights.py, lights.pz), cslot)
-    f = state_face
-    fx = jnp.where(f == 0, 0.0, jnp.where(f == 1, 1.0, fa))
-    fy = jnp.where(f == 2, 0.0, jnp.where(f == 3, 1.0, jnp.where(f < 2, fa, fb)))
-    fz = jnp.where(f == 4, 0.0, jnp.where(f == 5, 1.0, fb))
-    lp = (bx + fx, by + fy, bz + fz)
+    (prev-frame surface reconstruction role, Restir.h:348-381).  Local
+    samples are triangle-light points from (slot, barycentrics fa/fb)."""
+    from ..world.lighting import reconstruct_light_point
+    cslot = jnp.clip(state_slot, 0, lights.v0x.shape[0] - 1)
+    lp, _ln, _pdf = reconstruct_light_point(lights, cslot, fa, fb)
     to_l = m.sub(lp, p)
     dist_l = jnp.sqrt(jnp.maximum(m.length_sq(to_l), 1e-6))
     dir_local = m.scale(to_l, 1.0 / dist_l)
@@ -84,7 +79,7 @@ def reconstruct_sample(state_kind, state_slot, state_face, fa, fb, sdir,
 
     wi = m.where3(is_local, dir_local, d_stored)
     dist = jnp.where(is_local, dist_l, BIG)
-    le = m.where3(is_sun, le_sun, m.where3(is_sky, le_sky, m.splat(0.0, bx)))
+    le = m.where3(is_sun, le_sun, m.where3(is_sky, le_sky, m.splat(0.0, lp[0])))
     le = m.where3(is_local, le_local, le)
     return wi, dist, le
 
@@ -99,25 +94,35 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
                      cur_dist, cur_le, cur_wsum, cur_M, cur_phat,
                      prev: ReSTIRState, motion_u, motion_v,
                      depth, n, p, wo, mat,
-                     lights: LightTable, sky_state, remap, u_take,
+                     lights: LightTable, sky_state, remap, u_takes,
+                     frame_idx=0, n_taps: int = 3,
                      disocclusion_threshold: float = 0.2):
-    """Merge the current-frame RIS reservoir with the reprojected previous
-    reservoir (GRIS with confidence weights: each input reservoir is one
-    candidate with w = c/(c_cur+c_prev) · p̂(sample at current surface) · W;
-    final W = wsum/p̂_winner). Returns merged reservoir fields + final W."""
+    """Merge the current-frame RIS reservoir with n_taps reprojected
+    previous-frame reservoirs (closesthit.cu:636-785: 3 temporal samples
+    with jittered offsets, surface-similarity per tap, M-cap 20).
+
+    GRIS with confidence weights: each input reservoir is one candidate with
+    w = c/c_total · p̂(sample at current surface) · W; final W = wsum/p̂ of
+    the winner.  Tap 0 is the exact reprojection; further taps read small
+    frame-varying offsets of the warped buffer (decorrelated neighbor reuse;
+    each tap is independently re-validated and re-weighted at the current
+    surface, so the offsets affect variance, not bias).
+
+    u_takes: tuple of n_taps uniforms (one reservoir-selection draw per tap).
+    Returns merged reservoir fields + final W."""
     import jax.lax as lax
 
     H, W_img = depth.shape
     u_cur = (jnp.arange(W_img) + 0.5)[None, :] / W_img
     v_cur = 1.0 - (jnp.arange(H) + 0.5)[:, None] / H
     # clamp invalid motion to identity; inb rejects those pixels downstream
-    inb = (jnp.abs(motion_u) < 1.5) & (jnp.abs(motion_v) < 1.5)
-    mu = jnp.where(inb, motion_u, 0.0)
-    mv = jnp.where(inb, motion_v, 0.0)
+    inb0 = (jnp.abs(motion_u) < 1.5) & (jnp.abs(motion_v) < 1.5)
+    mu = jnp.where(inb0, motion_u, 0.0)
+    mv = jnp.where(inb0, motion_v, 0.0)
 
     # nearest-warped reservoir fetch via the Pallas windowed-gather kernel
-    # (prev-frame reservoir read role, closesthit.cu:636-705); int fields
-    # ride as f32 bit patterns — the gather is pure shuffle, no arithmetic
+    # (prev-frame reservoir read role); int fields ride as f32 bit patterns —
+    # the gather is pure shuffle, no arithmetic
     from ..ops.warp_kernel import dispatch_nearest
     bc = lambda a: lax.bitcast_convert_type(a, jnp.float32)
     pack = jnp.stack([
@@ -127,55 +132,87 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
     ])
     sx = (u_cur + mu) * W_img - 0.5
     sy = (1.0 - (v_cur + mv)) * H - 0.5
-    got, wvalid = dispatch_nearest(pack, sy, sx)
-    inb = inb & wvalid
-    pk = lax.bitcast_convert_type(got[0], jnp.int32)
-    pslot = lax.bitcast_convert_type(got[1], jnp.int32)
-    pface = lax.bitcast_convert_type(got[2], jnp.int32)
-    pfa, pfb = got[3], got[4]
-    pdir = (got[5], got[6], got[7])
-    pW = got[8]
-    pM = got[9]
-    pdepth = got[10]
-    pn = (got[11], got[12], got[13])
+    got0, wvalid = dispatch_nearest(pack, sy, sx)
+    valid0 = inb0 & wvalid
 
-    # surface similarity (closesthit.cu:636-705); threshold is the relative
-    # depth tolerance directly (round-1 had a hidden 2× fudge)
-    depth_ok = jnp.abs(pdepth - depth) <= disocclusion_threshold * jnp.maximum(depth, 1.0)
-    normal_ok = m.dot(pn, n) > 0.8
-    valid = inb & depth_ok & normal_ok & (pk != KIND_NONE) & (depth < BIG)
+    # frame-varying jitter offsets for the extra taps (R2-ish integer cycle)
+    fi = jnp.asarray(frame_idx, jnp.int32)
+    offs = [(fi * 2 + 1) % 5 - 2, (fi * 3 + 2) % 5 - 2,
+            -((fi * 2 + 3) % 5 - 2), (fi * 5 + 1) % 5 - 2]
 
-    # light-ID remap across edits (Restir.h:52-79)
     from ..ops.gatherlib import fast_gather
-    remapped = fast_gather(remap, jnp.clip(pslot, 0, remap.shape[0] - 1))
-    local_gone = (pk == KIND_LOCAL) & (remapped < 0)
-    pslot = jnp.where(pk == KIND_LOCAL, jnp.maximum(remapped, 0), pslot)
-    valid = valid & ~local_gone
 
-    # re-evaluate previous sample at the current surface
-    pwi, pdist, ple = reconstruct_sample(pk, pslot, pface, pfa, pfb, pdir,
-                                         p, lights, sky_state)
-    phat_prev = jnp.where(valid, target_pdf(mat, n, wo, pwi, ple), 0.0)
+    if not isinstance(u_takes, (tuple, list)):
+        u_takes = (u_takes,)
+    n_taps = min(n_taps, len(u_takes))
 
-    # confidence weights: current frame = 1, history capped at M_CAP
-    pM = jnp.where(valid, jnp.minimum(pM, float(M_CAP)), 0.0)
-    c_total = jnp.maximum(pM + 1.0, 1.0)
-    W_cur = jnp.where(cur_phat > 1e-9, cur_wsum / jnp.maximum(cur_phat, 1e-9), 0.0)
-    w_cur = (1.0 / c_total) * cur_phat * W_cur
-    w_prev = (pM / c_total) * phat_prev * pW
+    # running merged reservoir, seeded with the current-frame candidate
+    W_cur = jnp.where(cur_phat > 1e-9,
+                      cur_wsum / jnp.maximum(cur_phat, 1e-9), 0.0)
+    r_kind, r_slot, r_face = cur_kind, cur_slot, cur_face
+    r_fa, r_fb, r_dir, r_dist = cur_fa, cur_fb, cur_dir, cur_dist
+    r_le, r_phat = cur_le, cur_phat
+    contribs = []   # (phat, W, M, valid, fields...) per tap
 
-    wsum = w_cur + w_prev
-    take_prev = valid & ((u_take * jnp.maximum(wsum, 1e-20)) < w_prev)
+    taps = []
+    for t in range(n_taps):
+        if t == 0:
+            tap, tvalid = got0, valid0
+        else:
+            dy = offs[2 * (t - 1)]
+            dx = offs[2 * (t - 1) + 1]
+            tap = jnp.roll(got0, (dy, dx), axis=(1, 2))
+            tvalid = jnp.roll(valid0, (dy, dx), axis=(0, 1))
+        pk = lax.bitcast_convert_type(tap[0], jnp.int32)
+        pslot = lax.bitcast_convert_type(tap[1], jnp.int32)
+        pface = lax.bitcast_convert_type(tap[2], jnp.int32)
+        pfa, pfb = tap[3], tap[4]
+        pdir = (tap[5], tap[6], tap[7])
+        pW = tap[8]
+        pM = tap[9]
+        pdepth = tap[10]
+        pn = (tap[11], tap[12], tap[13])
 
-    kind = jnp.where(take_prev, pk, cur_kind)
-    slot = jnp.where(take_prev, pslot, cur_slot)
-    face = jnp.where(take_prev, pface, cur_face)
-    fa = jnp.where(take_prev, pfa, cur_fa)
-    fb = jnp.where(take_prev, pfb, cur_fb)
-    dirs = m.where3(take_prev, pwi, cur_dir)
-    le = m.where3(take_prev, ple, cur_le)
-    phat = jnp.where(take_prev, phat_prev, cur_phat)
-    M_new = pM + 1.0
-    W_new = jnp.where(phat > 1e-9, wsum / jnp.maximum(phat, 1e-9), 0.0)
-    dist = jnp.where(take_prev, pdist, cur_dist)
-    return kind, slot, face, fa, fb, dirs, dist, le, phat, wsum, M_new, W_new
+        # surface similarity per tap (closesthit.cu:636-705); the threshold
+        # is the relative depth tolerance directly (no hidden fudge)
+        depth_ok = jnp.abs(pdepth - depth) <= \
+            disocclusion_threshold * jnp.maximum(depth, 1.0)
+        normal_ok = m.dot(pn, n) > 0.8
+        valid = tvalid & depth_ok & normal_ok & (pk != KIND_NONE) & (depth < BIG)
+
+        # light-ID remap across edits (Restir.h:52-79)
+        remapped = fast_gather(remap, jnp.clip(pslot, 0, remap.shape[0] - 1))
+        local_gone = (pk == KIND_LOCAL) & (remapped < 0)
+        pslot = jnp.where(pk == KIND_LOCAL, jnp.maximum(remapped, 0), pslot)
+        valid = valid & ~local_gone
+
+        # re-evaluate the stored sample at the current surface
+        pwi, pdist, ple = reconstruct_sample(pk, pslot, pface, pfa, pfb,
+                                             pdir, p, lights, sky_state)
+        phat_prev = jnp.where(valid, target_pdf(mat, n, wo, pwi, ple), 0.0)
+        pM = jnp.where(valid, jnp.minimum(pM, float(M_CAP)), 0.0)
+        taps.append((pk, pslot, pface, pfa, pfb, pwi, pdist, ple,
+                     phat_prev, pW, pM, valid))
+
+    c_total = 1.0 + sum(tp[10] for tp in taps)
+    wsum = (1.0 / c_total) * cur_phat * W_cur
+    for t, (pk, pslot, pface, pfa, pfb, pwi, pdist, ple,
+            phat_prev, pW, pM, valid) in enumerate(taps):
+        w_t = (pM / c_total) * phat_prev * pW
+        new_wsum = wsum + w_t
+        take = valid & ((u_takes[t] * jnp.maximum(new_wsum, 1e-20)) < w_t)
+        r_kind = jnp.where(take, pk, r_kind)
+        r_slot = jnp.where(take, pslot, r_slot)
+        r_face = jnp.where(take, pface, r_face)
+        r_fa = jnp.where(take, pfa, r_fa)
+        r_fb = jnp.where(take, pfb, r_fb)
+        r_dir = m.where3(take, pwi, r_dir)
+        r_dist = jnp.where(take, pdist, r_dist)
+        r_le = m.where3(take, ple, r_le)
+        r_phat = jnp.where(take, phat_prev, r_phat)
+        wsum = new_wsum
+
+    M_new = c_total
+    W_new = jnp.where(r_phat > 1e-9, wsum / jnp.maximum(r_phat, 1e-9), 0.0)
+    return (r_kind, r_slot, r_face, r_fa, r_fb, r_dir, r_dist, r_le,
+            r_phat, wsum, M_new, W_new)

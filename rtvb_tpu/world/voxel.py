@@ -245,6 +245,21 @@ def build_tables(cfg: WorldConfig, blocks, schema_rows,
 _build_tables_jit = jax.jit(build_tables, static_argnums=0)
 
 
+@partial(jax.jit, static_argnums=0)
+def _exception_count_jit(cfg, blocks, schema_rows, colmask):
+    pred = predicted_blocks(cfg, schema_rows, colmask)
+    return jnp.sum((blocks != AIR) & (blocks != pred), dtype=jnp.int32)
+
+
+def exception_count(cfg: WorldConfig, world: VoxelWorld) -> int:
+    """Number of voxels deviating from the column schema.  When this exceeds
+    cfg.max_exceptions the bounded list drops the highest-key entries
+    silently (they render as the schema block and emissive edits lose their
+    light) — Engine.set_block uses this to warn the caller."""
+    return int(_exception_count_jit(cfg, world.blocks, world.schema,
+                                    world.colmask))
+
+
 def block_id_at(cfg: WorldConfig, world: VoxelWorld, ix, iy, iz):
     """Block id lookup used by gameplay code (vectorized, XLA path):
     reads the dense grid directly."""

@@ -53,9 +53,12 @@ def test_nee_matches_bruteforce_sun_sky():
     shape = (n_pix,)
     # empty light table
     tab = at.build(np.zeros(8))
+    z8 = jnp.zeros(8)
     lights = LightTable(
-        px=jnp.zeros(8), py=jnp.zeros(8), pz=jnp.zeros(8),
-        rad_r=jnp.zeros(8), rad_g=jnp.zeros(8), rad_b=jnp.zeros(8),
+        v0x=z8, v0y=z8, v0z=z8, e1x=z8, e1y=z8, e1z=z8,
+        e2x=z8, e2y=z8, e2z=z8, nx=z8, ny=z8, nz=z8, area=z8,
+        rad_r=z8, rad_g=z8, rad_b=z8,
+        key=jnp.full(8, 1 << 30, jnp.int32),
         active=jnp.zeros(8, bool), count=jnp.int32(0),
         prob=tab.prob, alias=tab.alias, pmf=tab.pmf)
 
