@@ -94,7 +94,7 @@ def _range_mask(ylo, yhi):
 
 def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = False,
           gather=None, row_gather=None, maxh_row=None,
-          schema2d=None, excmask2d=None):
+          schema2d=None, excmask2d=None, col_gather=None):
     """Trace rays against the voxel world.
 
     o, d:       SoA ray origins / unit directions, any common shape S.
@@ -114,6 +114,10 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
     if row_gather is None:
         def row_gather(row, idx):
             return jnp.take(row, idx)
+    if col_gather is None:
+        # per-step column-mask fetch; kernels may pass a cheaper
+        # range-bounded implementation (see ops/trace_kernel.py)
+        col_gather = lambda idx: gather(colmask2d, idx)
 
     ox, oy, oz = o
     dx, dy, dz = d
@@ -207,7 +211,7 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
         # lane test one column past the border — treat such columns as empty
         inb = ((s["ix"] >= 0) & (s["ix"] < X) & (s["iz"] >= 0) & (s["iz"] < Z))
         c = jnp.clip(s["ix"] * Z + s["iz"], 0, X * Z - 1)
-        word = jnp.where(inb, gather(colmask2d, c), jnp.uint32(0))
+        word = jnp.where(inb, col_gather(c), jnp.uint32(0))
 
         ya = oy + dy * t0
         yb = oy + dy * t1

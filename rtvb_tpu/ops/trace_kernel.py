@@ -31,6 +31,13 @@ from .gatherlib import LANES, lane_gather, table_gather
 TILE = 256
 
 
+# NOTE: a range-bounded column gather (fori_loop over min..max of idx>>7
+# with dynamic sublane loads) was measured SLOWER than the unrolled 32-row
+# select loop on v5e (incoherent waves 17→24 ms): Mosaic's dynamic-bound
+# loop + per-iteration dynamic sublane slice costs more per row than the
+# static shuffle+select.  Keeping the oblivious table_gather.
+
+
 def _make_kernel(p: dda.TraceParams, any_hit: bool, with_meta: bool):
     def kernel(ox, oy, oz, dx, dy, dz, tcap, colmask, dfrow, maxhrow,
                schema, excmask, *outs):

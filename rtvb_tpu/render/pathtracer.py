@@ -502,7 +502,8 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                 dx=dir2[0], dy=dir2[1], dz=dir2[2],
                 W=jnp.where(keep & visible, W2, 0.0),
                 M=jnp.where(keep, M2, 0.0),
-                depth=g_depth, nx=n[0], ny=n[1], nz=n[2])
+                depth=g_depth, nx=n[0], ny=n[1], nz=n[2],
+                le_r=le2[0], le_g=le2[1], le_b=le2[2])
         else:
             nee = shade_reservoir(res, p, n, wo, mat, trace_any, live=alive)
         for i in range(3):

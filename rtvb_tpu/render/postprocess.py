@@ -36,13 +36,20 @@ def initial_post_state() -> PostState:
 # ---------------------------------------------------------------------------
 
 def auto_exposure(rgb, state: PostState, cfg: PostProcessingSettings, dt):
-    lum = m.luminance(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+    # 4×4 box-downsampled luminance (the reference reads a luminance mip,
+    # PostProcessingPipeline.cu) — 16× fewer histogram samples, same stats
+    h4 = (rgb.shape[0] // 4) * 4
+    w4 = (rgb.shape[1] // 4) * 4
+    small = rgb[:h4, :w4].reshape(h4 // 4, 4, w4 // 4, 4, 3).mean((1, 3))
+    lum = m.luminance(small[..., 0], small[..., 1], small[..., 2])
     log_lum = jnp.log2(jnp.maximum(lum, 1e-6))
     lo, hi = cfg.exposure_min_log, cfg.exposure_max_log
     nbins = 64
     t = jnp.clip((log_lum - lo) / (hi - lo), 0.0, 1.0)
     bins = jnp.clip((t * nbins).astype(jnp.int32), 0, nbins - 1)
-    hist = jnp.zeros((nbins,)).at[bins.reshape(-1)].add(1.0)
+    # binning as a fused one-hot reduction (TPU scatter-add is serial)
+    ids = jax.lax.broadcasted_iota(jnp.int32, bins.shape + (nbins,), bins.ndim)
+    hist = (ids == bins[..., None]).astype(jnp.float32).sum((0, 1))
     cdf = jnp.cumsum(hist) / jnp.maximum(hist.sum(), 1.0)
     centers = lo + (jnp.arange(nbins) + 0.5) / nbins * (hi - lo)
     in_win = (cdf >= cfg.exposure_low_percentile) & (cdf <= cfg.exposure_high_percentile)

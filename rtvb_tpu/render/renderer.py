@@ -78,7 +78,7 @@ class Engine:
         self.post_state = postprocess.initial_post_state()
         self.denoiser_state: DenoiserState | None = None
         self.restir_state = None
-        self._light_remap = jnp.arange(lighting.MAX_LIGHT_TRIS, dtype=jnp.int32)
+        self._light_remap = jnp.arange(self.lights.key.shape[0], dtype=jnp.int32)
         self._accum = None
         self._accum_n = 0
 
@@ -320,7 +320,7 @@ class Engine:
             self.entity_buffers())
         if new_state is not None:
             self.restir_state = new_state
-        self._light_remap = jnp.arange(lighting.MAX_LIGHT_TRIS, dtype=jnp.int32)
+        self._light_remap = jnp.arange(self.lights.key.shape[0], dtype=jnp.int32)
         self.frame_index += 1
         return g
 
@@ -404,7 +404,7 @@ class Engine:
             self.entity_buffers())
         if new_restir is not None:
             self.restir_state = new_restir
-        self._light_remap = jnp.arange(lighting.MAX_LIGHT_TRIS, dtype=jnp.int32)
+        self._light_remap = jnp.arange(self.lights.key.shape[0], dtype=jnp.int32)
         self.frame_index += 1
         self.history_camera = self.camera
         return np.asarray(out_u8)
@@ -427,7 +427,7 @@ class Engine:
             self.entity_buffers())
         if new_restir is not None:
             self.restir_state = new_restir
-        self._light_remap = jnp.arange(lighting.MAX_LIGHT_TRIS, dtype=jnp.int32)
+        self._light_remap = jnp.arange(self.lights.key.shape[0], dtype=jnp.int32)
         self.frame_index += 1
         self.history_camera = self.camera
         return out_u8

@@ -34,8 +34,8 @@ class ReSTIRState(NamedTuple):
     """Per-pixel stored reservoirs + the surface they were built on."""
     kind: jnp.ndarray     # (H, W) i32
     slot: jnp.ndarray     # (H, W) i32 light slot (local lights)
-    face: jnp.ndarray     # (H, W) i32 cube face of the light sample
-    fa: jnp.ndarray       # (H, W) f32 uv on the face
+    face: jnp.ndarray     # (H, W) i32 (unused for triangle lights; kept 0)
+    fa: jnp.ndarray       # (H, W) f32 triangle barycentrics
     fb: jnp.ndarray
     dx: jnp.ndarray       # (H, W) f32 direction (sun/sky samples)
     dy: jnp.ndarray
@@ -46,6 +46,13 @@ class ReSTIRState(NamedTuple):
     nx: jnp.ndarray       # (H, W) surface normal
     ny: jnp.ndarray
     nz: jnp.ndarray
+    # cached sample radiance: sun/sky radiance is expensive to re-derive
+    # (Preetham eval ~6.5 ms/tap at 1080p) and static within a frame, so
+    # taps reuse it; LOCAL samples re-read the light table instead (exact
+    # under material edits).  A big time-of-day jump should reset reservoirs.
+    le_r: jnp.ndarray
+    le_g: jnp.ndarray
+    le_b: jnp.ndarray
 
 
 def initial_state(h: int, w: int) -> ReSTIRState:
@@ -53,33 +60,42 @@ def initial_state(h: int, w: int) -> ReSTIRState:
     zi = jnp.zeros((h, w), jnp.int32)
     return ReSTIRState(kind=zi, slot=zi, face=zi, fa=z, fb=z,
                        dx=z, dy=z, dz=z, W=z, M=z,
-                       depth=jnp.full((h, w), BIG), nx=z, ny=z, nz=z)
+                       depth=jnp.full((h, w), BIG), nx=z, ny=z, nz=z,
+                       le_r=z, le_g=z, le_b=z)
 
 
 def reconstruct_sample(state_kind, state_slot, state_face, fa, fb, sdir,
-                       p, lights: LightTable, sky_state):
+                       p, lights: LightTable, sky_state, stored_le=None):
     """Re-derive (dir, dist, le) of a stored light sample at surface point p
     (prev-frame surface reconstruction role, Restir.h:348-381).  Local
-    samples are triangle-light points from (slot, barycentrics fa/fb)."""
+    samples are triangle-light points from (slot, barycentrics fa/fb).
+
+    stored_le: cached (r, g, b) of the sample.  When given, sun/sky radiance
+    comes from the cache (static within a frame; saves two Preetham evals
+    per tap); local radiance is always re-read from the light table."""
     from ..world.lighting import reconstruct_light_point
     cslot = jnp.clip(state_slot, 0, lights.v0x.shape[0] - 1)
-    lp, _ln, _pdf = reconstruct_light_point(lights, cslot, fa, fb)
+    lp = reconstruct_light_point(lights, cslot, fa, fb)
     to_l = m.sub(lp, p)
     dist_l = jnp.sqrt(jnp.maximum(m.length_sq(to_l), 1e-6))
     dir_local = m.scale(to_l, 1.0 / dist_l)
     le_local = light_radiance(lights, cslot)
 
     d_stored = (sdir[0], sdir[1], sdir[2])
-    le_sun = sky_mod.sun_radiance(d_stored, sky_state)
-    le_sky = sky_mod.sky_radiance(d_stored, sky_state)
-
     is_local = state_kind == KIND_LOCAL
     is_sun = state_kind == KIND_SUN
     is_sky = state_kind == KIND_SKY
 
+    if stored_le is None:
+        le_sun = sky_mod.sun_radiance(d_stored, sky_state)
+        le_sky = sky_mod.sky_radiance(d_stored, sky_state)
+        le = m.where3(is_sun, le_sun,
+                      m.where3(is_sky, le_sky, m.splat(0.0, lp[0])))
+    else:
+        le = m.where3(is_sun | is_sky, stored_le, m.splat(0.0, lp[0]))
+
     wi = m.where3(is_local, dir_local, d_stored)
     dist = jnp.where(is_local, dist_l, BIG)
-    le = m.where3(is_sun, le_sun, m.where3(is_sky, le_sky, m.splat(0.0, lp[0])))
     le = m.where3(is_local, le_local, le)
     return wi, dist, le
 
@@ -129,6 +145,7 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
         bc(prev.kind), bc(prev.slot), bc(prev.face), prev.fa, prev.fb,
         prev.dx, prev.dy, prev.dz, prev.W, prev.M, prev.depth,
         prev.nx, prev.ny, prev.nz,
+        prev.le_r, prev.le_g, prev.le_b,
     ])
     sx = (u_cur + mu) * W_img - 0.5
     sy = (1.0 - (v_cur + mv)) * H - 0.5
@@ -172,6 +189,7 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
         pM = tap[9]
         pdepth = tap[10]
         pn = (tap[11], tap[12], tap[13])
+        ple_cache = (tap[14], tap[15], tap[16])
 
         # surface similarity per tap (closesthit.cu:636-705); the threshold
         # is the relative depth tolerance directly (no hidden fudge)
@@ -188,7 +206,8 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
 
         # re-evaluate the stored sample at the current surface
         pwi, pdist, ple = reconstruct_sample(pk, pslot, pface, pfa, pfb,
-                                             pdir, p, lights, sky_state)
+                                             pdir, p, lights, sky_state,
+                                             stored_le=ple_cache)
         phat_prev = jnp.where(valid, target_pdf(mat, n, wo, pwi, ple), 0.0)
         pM = jnp.where(valid, jnp.minimum(pM, float(M_CAP)), 0.0)
         taps.append((pk, pslot, pface, pfa, pfb, pwi, pdist, ple,

@@ -126,10 +126,20 @@ def emissive_triangles(cfg: WorldConfig, world: VoxelWorld,
 
 def build_light_table(cfg: WorldConfig, world: VoxelWorld,
                       mats: MaterialTable, blocks: BlockRegistry,
-                      k: int = MAX_LIGHT_TRIS) -> LightTable:
+                      k: int | None = None) -> LightTable:
     """Extract emissive triangles and build the sampling alias table
-    (host-side; runs on world edits only, VoxelEngine.cu:635-656)."""
+    (host-side; runs on world edits only, VoxelEngine.cu:635-656).
+
+    k=None sizes the table to the next power of two ≥ the triangle count
+    (min 8): every downstream one-hot gather scales with K, so a lightless
+    or single-lantern scene pays for 8/16 slots, not 256.  Changing the
+    bucket recompiles the frame once (cached per size)."""
     tris = emissive_triangles(cfg, world, mats, blocks)
+    if k is None:
+        k = 8
+        while k < len(tris):
+            k *= 2
+        k = min(k, MAX_LIGHT_TRIS)
     if len(tris) > k:
         import warnings
         warnings.warn(f"light-triangle overflow: {len(tris)} > {k}; "
@@ -228,17 +238,17 @@ def sample_light_point(lt: LightTable, slot, u1, u2, u3):
 
 
 def reconstruct_light_point(lt: LightTable, slot, fa, fb):
-    """Point + normal + area pdf for stored barycentrics (prev-frame sample
-    reconstruction, Restir.h:348-381 role)."""
+    """Point for stored barycentrics (prev-frame sample reconstruction,
+    Restir.h:348-381 role).  Gathers only the 9 geometry channels — the
+    temporal taps run this per tap per pixel."""
     from ..ops.gatherlib import fast_gather_multi
-    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
-     nx, ny, nz, area) = fast_gather_multi(
+    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = fast_gather_multi(
         (lt.v0x, lt.v0y, lt.v0z, lt.e1x, lt.e1y, lt.e1z,
-         lt.e2x, lt.e2y, lt.e2z, lt.nx, lt.ny, lt.nz, lt.area), slot)
+         lt.e2x, lt.e2y, lt.e2z), slot)
     pos = (v0x + fa * e1x + fb * e2x,
            v0y + fa * e1y + fb * e2y,
            v0z + fa * e1z + fb * e2z)
-    return pos, (nx, ny, nz), 1.0 / jnp.maximum(area, 1e-8)
+    return pos
 
 
 def light_radiance(lt: LightTable, slot, gather=None):
