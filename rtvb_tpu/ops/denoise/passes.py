@@ -187,9 +187,10 @@ def atrous_pass(illum, var, depth, normal, roughness, step: int,
     # variance-scaled luminance sigma (DenoiserCommon.h weighting form)
     sigma_l = phi_lum * jnp.sqrt(jnp.maximum(var, 1e-8)) + 1e-3
 
-    acc = illum * 0.375 * 0.375
-    acc_v = var * 0.375 * 0.375
-    wsum = jnp.full(depth.shape, 0.375 * 0.375)
+    w0 = 0.375 * 0.375
+    acc = illum * w0
+    acc_v = var * (w0 * w0)   # variance accumulates with squared weights
+    wsum = jnp.full(depth.shape, w0)
     w1d = {0: 0.375, 1: 0.25, 2: 0.0625}
     for dy in (-2, -1, 0, 1, 2):
         for dx in (-2, -1, 0, 1, 2):

@@ -84,10 +84,21 @@ def _denoise_jit(g: GBuffers, state: DenoiserState, cfg: DenoisingSettings):
     var = var * jnp.clip(4.0 / jnp.maximum(hist_len, 1.0), 1.0, 4.0)
 
     filtered = slow
-    for i in range(cfg.atrous_iterations):
-        filtered, var = passes.atrous_pass(
-            filtered, var, depth, normal, g.roughness, 1 << i,
-            cfg.phi_luminance, cfg.phi_normal, cfg.phi_depth)
+    if jax.default_backend() == "tpu":
+        # Pallas stencil kernel (Atrous.h/AtrousSmem.h role): ~10ms/pass as
+        # XLA shifted-tap chains → VMEM-windowed tiles
+        from ..ops.denoise import atrous_kernel as AK
+        H, W = depth.shape
+        guide_p = AK.pad_guides(depth, normal, g.roughness)
+        for i in range(cfg.atrous_iterations):
+            filtered, var = AK.atrous_pass_tpu(
+                filtered, var, guide_p, H, W, 1 << i,
+                cfg.phi_luminance, cfg.phi_normal, cfg.phi_depth)
+    else:
+        for i in range(cfg.atrous_iterations):
+            filtered, var = passes.atrous_pass(
+                filtered, var, depth, normal, g.roughness, 1 << i,
+                cfg.phi_luminance, cfg.phi_normal, cfg.phi_depth)
 
     # compose: remodulate albedo; sky/emissive pixels pass through unfiltered
     rgb = filtered * albedo
