@@ -116,6 +116,90 @@ def dev_overlay_text(engine: Engine, timer: FrameTimer, cam_pose: CameraPose,
 
 
 # ---------------------------------------------------------------------------
+# Input sources (InputHandler.h GLFW-callback role, headless)
+# ---------------------------------------------------------------------------
+
+class StdinInputSource:
+    """Line-oriented keyboard input over stdin (the headless stand-in for
+    GLFW key callbacks, InputHandler.h:19-95).  Non-blocking: reads whatever
+    lines arrived since the last frame.  Commands (one or more per line):
+
+      w/s/a/d  move    q/e   descend/ascend     j/l  yaw    i/k  pitch
+      r        toggle run    空 (space)  jump
+      x        left click (dig)     b    right click (place)
+      1-9      select block id      c    toggle camera mode
+      F5/F9    save/load world      quit exit
+    """
+
+    def __init__(self, stream=None):
+        self.stream = stream if stream is not None else sys.stdin
+        self.run_held = False
+        self.selected = 1
+
+    def _pending_lines(self):
+        import select
+        lines = []
+        try:
+            while True:
+                r, _, _ = select.select([self.stream], [], [], 0.0)
+                if not r:
+                    break
+                line = self.stream.readline()
+                if not line:
+                    break
+                lines.append(line.strip())
+        except (OSError, ValueError):
+            pass
+        return lines
+
+    def __call__(self, frame: int) -> InputState:
+        inp = InputState(run=self.run_held, selected_block=self.selected)
+        for line in self._pending_lines():
+            for tok in line.split():
+                if tok == "w":
+                    inp.forward += 1.0
+                elif tok == "s":
+                    inp.forward -= 1.0
+                elif tok == "a":
+                    inp.strafe -= 1.0
+                elif tok == "d":
+                    inp.strafe += 1.0
+                elif tok == "e":
+                    inp.ascend += 1.0
+                elif tok == "q":
+                    inp.ascend -= 1.0
+                elif tok == "j":
+                    inp.mouse_dx -= 10.0
+                elif tok == "l":
+                    inp.mouse_dx += 10.0
+                elif tok == "i":
+                    inp.mouse_dy -= 10.0
+                elif tok == "k":
+                    inp.mouse_dy += 10.0
+                elif tok == "r":
+                    self.run_held = not self.run_held
+                    inp.run = self.run_held
+                elif tok == "space":
+                    inp.jump = True
+                elif tok == "x":
+                    inp.left_click = True
+                elif tok == "b":
+                    inp.right_click = True
+                elif tok == "c":
+                    inp.toggle_camera_mode = True
+                elif tok == "F5":
+                    inp.save_world = True
+                elif tok == "F9":
+                    inp.load_world = True
+                elif tok == "quit":
+                    inp.quit = True
+                elif tok.isdigit():
+                    self.selected = int(tok)
+                    inp.selected_block = self.selected
+        return inp
+
+
+# ---------------------------------------------------------------------------
 # Dynamic resolution (Backend.cpp:191-232 role).  The reference steps render
 # width by 16 px; under XLA every shape is a separate compilation, so the
 # TPU-native controller walks a small ladder of fixed scale rungs — each rung
@@ -247,20 +331,26 @@ def main(argv=None):
     ap.add_argument("--out-dir", type=str, default=None,
                     help="stream frames as PNGs (default: no display)")
     ap.add_argument("--worlds-dir", type=str, default="data/savedata")
+    ap.add_argument("--stdin-input", action="store_true",
+                    help="drive the session from stdin key commands "
+                         "(see StdinInputSource; default: scripted flythrough)")
     args = ap.parse_args(argv)
 
     settings = Settings().replace(rendering={
         "render_width": args.width, "render_height": args.height})
     presenter = PngPresenter(args.out_dir, every=10) if args.out_dir else NullPresenter()
 
-    # scripted flythrough input (deterministic; benchmark config 5)
-    def flythrough(frame):
-        return InputState(forward=0.6, mouse_dx=2.0, run=False)
+    if args.stdin_input:
+        source = StdinInputSource()
+    else:
+        # scripted flythrough input (deterministic; benchmark config 5)
+        def source(frame):
+            return InputState(forward=0.6, mouse_dx=2.0, run=False)
 
     app = InteractiveApp(settings=settings, scene=SceneConfig(),
                          presenter=presenter, store=WorldStore(args.worlds_dir),
-                         max_frames=args.frames)
-    perf = app.run(flythrough)
+                         max_frames=None if args.stdin_input else args.frames)
+    perf = app.run(source)
     print("[interactive]", perf.summary_row("flythrough"))
     return 0
 

@@ -112,6 +112,7 @@ def main(argv=None) -> int:
 
     perf = PerformanceTracker()
     final = None
+    batch_paths, batch_frames = [], []
     for frame in range(1, args.frames + 1):
         perf.begin_frame()
         with perf.segment("scenePrep"):
@@ -124,11 +125,16 @@ def main(argv=None) -> int:
         perf.end_frame()
         final = out
         if args.save_all or frame in SAVE_FRAMES or frame == args.frames:
+            # batch in host RAM, encode in parallel at exit
+            # (OfflineBackend.cpp:133-184 storeFrameInBatch +
+            # writeAllBatchedFrames with std::execution::par)
             path = os.path.join(args.out_dir, f"frame_{frame:04d}.png")
-            image.write_png(path, out)
+            batch_paths.append(path)
+            batch_frames.append(np.asarray(out))
             print(f"[offline] frame {frame}/{args.frames} -> {path}")
         else:
             print(f"[offline] frame {frame}/{args.frames}")
+    image.write_pngs(batch_paths, batch_frames)
 
     perf.save_report(args.perf_report, f"{args.label} {args.width}x{args.height}")
     print("[offline]", perf.summary_row(args.label))

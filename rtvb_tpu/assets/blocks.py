@@ -123,4 +123,5 @@ GRASS = _REG.id_of("grass")
 LANTERN = _REG.id_of("lantern")
 GLASS = _REG.id_of("glass")
 WATER = _REG.id_of("water")
+FLOWER = _REG.id_of("flower")
 SHADERBALL0 = _REG.id_of("shaderball0")

@@ -10,6 +10,8 @@ tiny (≤ 12 triangles).
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 
@@ -107,6 +109,31 @@ DECORATION_MESHES = {
     "lantern": lantern_mesh,
 }
 
+_MODELS_DIR = os.path.join(os.path.dirname(__file__), "..", "..",
+                           "data", "models")
+_obj_cache: dict = {}
+
+
+def _mesh_for(name: str):
+    """Resolve a decoration's base mesh: a shipped model file
+    (data/models/<name>.obj — ModelManager.loadModels role) wins over the
+    procedural fallback."""
+    if name in _obj_cache:
+        return _obj_cache[name]
+    path = os.path.join(_MODELS_DIR, f"{name}.obj")
+    mesh = None
+    if os.path.exists(path):
+        from .models import load_obj
+        md = load_obj(path)
+        idx = md.indices
+        mesh = (md.positions[idx[:, 0]].astype(np.float32),
+                md.positions[idx[:, 1]].astype(np.float32),
+                md.positions[idx[:, 2]].astype(np.float32))
+    elif name in DECORATION_MESHES:
+        mesh = DECORATION_MESHES[name]()
+    _obj_cache[name] = mesh
+    return mesh
+
 # name → emissive light sub-mesh (joins the triangle-light table;
 # rendered with the block's emissive material)
 LIGHT_MESHES = {
@@ -132,10 +159,10 @@ def decoration_triangles(name: str, positions: np.ndarray,
     """Instance a decoration mesh at voxel min-corner positions (N, 3).
     Returns (v0, v1, v2, is_light) stacked over all instances; is_light
     marks the emissive sub-mesh triangles (light table members)."""
-    mesh_fn = DECORATION_MESHES.get(name)
+    mesh = _mesh_for(name)
     parts = []
-    if mesh_fn is not None:
-        v0, v1, v2 = mesh_fn()
+    if mesh is not None:
+        v0, v1, v2 = mesh
         parts.append((v0, v1, v2, np.zeros(len(v0), bool)))
     lm = light_mesh(name) if include_light else None
     if lm is not None:

@@ -80,7 +80,7 @@ class MaterialRegistry:
     def from_yaml(cls, path: str) -> "MaterialRegistry":
         with open(path) as f:
             doc = yaml.safe_load(f)
-        mats = [MaterialDef("default")]
+        mats = [_BUILTIN_MATERIALS[0]]   # implicit default slot 0
         for e in doc.get("materials", []):
             mats.append(MaterialDef(
                 name=e["name"],

@@ -43,10 +43,15 @@ class RenderingSettings:
 @dataclass(frozen=True)
 class DenoisingSettings:
     # GlobalSettings.h:82-141 DenoisingParams.
+    # NOTE: the reference's hit-dist reconstruction toggle
+    # (HitDistReconstruction.h:50) has no equivalent here BY DESIGN: it
+    # patches holes in the hitDist that rides its radiance alpha channel
+    # when checkerboarded paths skip pixels — this wavefront renderer
+    # writes exact DDA depth for every pixel every frame, so there is
+    # nothing to reconstruct.
     enabled: bool = True
     firefly_filter: bool = True
-    hit_dist_reconstruction: bool = False
-    pre_pass: bool = False
+    pre_pass: bool = False              # Poisson-disk pre-blur (PrePass.h:6)
     temporal_accumulation: bool = True
     max_accumulated_frames: int = 30    # slow history
     max_fast_accumulated_frames: int = 6

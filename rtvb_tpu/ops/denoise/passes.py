@@ -37,17 +37,64 @@ def _shift(img, dy: int, dx: int):
 # 0. Firefly / boiling filter (FireflyFilter.h: bilateral RCRS outlier clamp)
 # ---------------------------------------------------------------------------
 
-def firefly_filter(rgb):
-    """Clamp each pixel's luminance to the max of its 8 neighbors."""
+def firefly_filter(rgb, depth=None, normal=None,
+                   depth_tol: float = 0.1, normal_tol: float = 0.5):
+    """Bilateral rank-conditioned rank selection (FireflyFilter.h:9 role):
+    a pixel brighter than every *surface-compatible* neighbor is clamped to
+    that neighborhood max; darker than every compatible neighbor is lifted
+    to the min (boiling suppression).  Compatibility = relative depth +
+    normal agreement, so edges don't bleed.  Without guides it degrades to
+    the unconditioned RCRS clamp."""
     lum = m.luminance(rgb[..., 0], rgb[..., 1], rgb[..., 2])
-    nmax = jnp.zeros_like(lum)
+    nmax = jnp.full_like(lum, -BIG)
+    nmin = jnp.full_like(lum, BIG)
+    any_ok = jnp.zeros(lum.shape, bool)
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             if dy == 0 and dx == 0:
                 continue
-            nmax = jnp.maximum(nmax, _shift(lum, dy, dx))
-    scale = jnp.where(lum > nmax, nmax / jnp.maximum(lum, 1e-6), 1.0)
+            nl = _shift(lum, dy, dx)
+            if depth is not None:
+                nd = _shift(depth, dy, dx)
+                ok = jnp.abs(nd - depth) <= depth_tol * jnp.maximum(depth, 1.0)
+                if normal is not None:
+                    nn = _shift(normal, dy, dx)
+                    ok = ok & ((nn * normal).sum(-1) > normal_tol)
+            else:
+                ok = jnp.ones(lum.shape, bool)
+            any_ok = any_ok | ok
+            nmax = jnp.maximum(nmax, jnp.where(ok, nl, -BIG))
+            nmin = jnp.minimum(nmin, jnp.where(ok, nl, BIG))
+    target = jnp.clip(lum, nmin, nmax)
+    scale = jnp.where(any_ok & (lum > 1e-6), target / jnp.maximum(lum, 1e-6), 1.0)
     return rgb * scale[..., None]
+
+
+# ---------------------------------------------------------------------------
+# 3. Pre-pass (PrePass.h:6: Poisson-disk spatial pre-blur before temporal
+#    accumulation — softens 1-spp shot noise so history rejection is less
+#    trigger-happy on young pixels)
+# ---------------------------------------------------------------------------
+
+# 8-point Poisson-disk offsets (radius 3 px, precomputed blue-noise-ish set)
+_POISSON_TAPS = ((-3, 0), (3, 1), (0, -3), (-1, 3),
+                 (2, -2), (-2, -2), (2, 2), (-2, 3))
+
+
+def pre_pass(illum, depth, normal, strength: float = 0.5):
+    """Edge-stopping Poisson-disk blur mixed into the input at `strength`."""
+    acc = illum
+    wsum = jnp.ones(depth.shape)
+    for dy, dx in _POISSON_TAPS:
+        nd = _shift(depth, dy, dx)
+        nn = _shift(normal, dy, dx)
+        w = jnp.exp(-jnp.abs(nd - depth) / jnp.maximum(0.05 * depth, 0.1))
+        w = w * jnp.maximum((nn * normal).sum(-1), 0.0)
+        w = jnp.where((nd >= BIG) | (depth >= BIG), 0.0, w)
+        acc = acc + _shift(illum, dy, dx) * w[..., None]
+        wsum = wsum + w
+    blurred = acc / wsum[..., None]
+    return illum + (blurred - illum) * strength
 
 
 # ---------------------------------------------------------------------------

@@ -53,7 +53,9 @@ def _denoise_jit(g: GBuffers, state: DenoiserState, cfg: DenoisingSettings):
     depth = g.depth
 
     if cfg.firefly_filter:
-        illum = passes.firefly_filter(illum)
+        illum = passes.firefly_filter(illum, depth, normal)
+    if cfg.pre_pass:
+        illum = passes.pre_pass(illum, depth, normal)
 
     lum = m.luminance(illum[..., 0], illum[..., 1], illum[..., 2])
     moments_in = jnp.stack([lum, lum * lum], axis=-1)

@@ -212,12 +212,12 @@ def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
     res = stream(res, wi_sun, jnp.full(shape, BIG), le_sun,
                  jnp.full(shape, pdf_sun), u_take, restir_mod.KIND_SUN)
 
-    # sky candidate: cosine hemisphere around n
-    u1, u2 = rs.next2()
+    # sky candidate: env-map importance sample (equal-area luminance alias,
+    # Sky.cu:383-391 role) — matches the reference's map-driven sky NEE and
+    # beats cosine sampling at low sun
+    u1, u2, u3 = rs.next3()
     u_take = rs.next()
-    tn, btn = m.orthonormal_basis(n)
-    wi_sky = m.from_local(m.cosine_sample_hemisphere(u1, u2), tn, btn, n)
-    pdf_sky = jnp.maximum(m.dot(n, wi_sky), 0.0) / jnp.pi
+    wi_sky, pdf_sky = sky_mod.sky_env_sample(sky_state, u1, u2, u3)
     le_sky = sky_mod.sky_radiance(wi_sky, sky_state)
     res = stream(res, wi_sky, jnp.full(shape, BIG), le_sky, pdf_sky, u_take,
                  restir_mod.KIND_SKY)
@@ -348,7 +348,8 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
             mis_sun = jnp.ones((H, W))
         else:
             pdf_b = prev_cos_pdf
-            pdf_nee_sky = jnp.maximum(m.dot(prev_n, d), 0.0) / jnp.pi
+            # counterweight of the env-map sky candidate (sky_env_sample)
+            pdf_nee_sky = sky_mod.sky_env_pdf(sky_state, d)
             mis_sky = jnp.where(prev_delta, 1.0, pdf_b / jnp.maximum(pdf_b + pdf_nee_sky, 1e-9))
             mis_sun = jnp.where(prev_delta, 1.0, pdf_b / jnp.maximum(pdf_b + pdf_sun_cone, 1e-9))
         miss_now = alive & ~rec.hit

@@ -54,13 +54,22 @@ class Engine:
         self.width, self.height = self._internal_size(self.render_scale)
         self.backend = backend
 
-        # assets (main.cpp:30-34 init order)
-        self.block_registry = BlockRegistry.builtin()
-        self.material_registry = MaterialRegistry()
+        # assets (main.cpp:30-34 init order): data/assets YAML when present,
+        # builtin tables as the fallback (AssetRegistry.cpp contract)
+        import os as _os
+        asset_dir = _os.path.join(_os.path.dirname(__file__), "..", "..",
+                                  "data", "assets")
+        blocks_yaml = _os.path.join(asset_dir, "blocks.yaml")
+        mats_yaml = _os.path.join(asset_dir, "materials.yaml")
+        self.block_registry = BlockRegistry.from_yaml(blocks_yaml) \
+            if _os.path.exists(blocks_yaml) else BlockRegistry.builtin()
+        self.material_registry = MaterialRegistry.from_yaml(mats_yaml) \
+            if _os.path.exists(mats_yaml) else MaterialRegistry()
         self.materials = self.material_registry.build_table(self.block_registry, TEXTURE_IDS)
 
         # world
-        self.cfg, self.world = gen.generate_world(seed=self.scene.world_seed)
+        self.cfg, self.world = gen.generate_world(
+            seed=self.scene.world_seed, nonsolid_ids=self._nonsolid_ids())
         self.lights = lighting.build_light_table(
             self.cfg, self.world, self.materials, self.block_registry)
         self._n_lights = int(self.lights.count)
@@ -221,8 +230,14 @@ class Engine:
         pv1 = np.concatenate(pv1s)
         pv2 = np.concatenate(pv2s)
         mat = np.concatenate(mats)
-        t_max = self.max_entity_tris
-        assert len(v0) <= t_max, f"entity triangle budget exceeded: {len(v0)}"
+        assert len(v0) <= self.max_entity_tris, \
+            f"entity triangle budget exceeded: {len(v0)}"
+        # pad to the next power of two (min 16): the brute-force intersector
+        # costs O(T) per ray per wave, so a 16-triangle flower scene must
+        # not pay for the 256-slot worst case (size buckets recompile once)
+        t_max = 16
+        while t_max < len(v0):
+            t_max *= 2
         pad = t_max - len(v0)
 
         def padv(a):

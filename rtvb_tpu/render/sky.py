@@ -30,6 +30,12 @@ SKY_RADIANCE_SCALE = 0.035
 SUN_RADIANCE_SCALE = 1.2e5
 
 
+# Env-map sampler resolution: 16×8 equal-area texels = 128 = one lane row.
+# Small on purpose — it shapes the sampling pdf only; radiance at the
+# sampled direction is always evaluated analytically (unbiased).
+ENV_W, ENV_H = 16, 8
+
+
 class SkyState(NamedTuple):
     """Per-frame sky parameters (pytree) — recomputed when time/turbidity change."""
     sun_dir: tuple          # unit vector toward the sun
@@ -37,6 +43,11 @@ class SkyState(NamedTuple):
     sky_intensity: jnp.ndarray
     sun_intensity: jnp.ndarray
     cos_sun_radius: jnp.ndarray   # cos of sun disk angular radius
+    # equal-area env importance sampler (Sky.cu:383-391 alias-table role):
+    # 128-texel luminance pdf + alias table over the upper hemisphere
+    env_prob: jnp.ndarray   # (128,)
+    env_alias: jnp.ndarray  # (128,) i32
+    env_pmf: jnp.ndarray    # (128,)
 
 
 def sun_direction(time_of_day, axis_angle_deg):
@@ -52,13 +63,23 @@ def sun_direction(time_of_day, axis_angle_deg):
 
 def make_sky_state(s: SkySettings) -> SkyState:
     f32 = jnp.float32
-    return SkyState(
+    base = SkyState(
         sun_dir=sun_direction(f32(s.time_of_day), f32(s.sun_axis_angle)),
         turbidity=f32(s.turbidity),
         sky_intensity=f32(s.sky_intensity),
         sun_intensity=f32(s.sun_intensity),
         cos_sun_radius=jnp.cos(jnp.deg2rad(f32(s.sun_angular_diameter) * 0.5)),
+        env_prob=jnp.ones((ENV_W * ENV_H,)),
+        env_alias=jnp.zeros((ENV_W * ENV_H,), jnp.int32),
+        env_pmf=jnp.full((ENV_W * ENV_H,), 1.0 / (ENV_W * ENV_H)),
     )
+    # luminance-weighted alias table over the equal-area map
+    from ..ops import alias_table as at
+    import numpy as np
+    _, pdf = build_sky_map(base, ENV_W, ENV_H)
+    tab = at.build(np.maximum(np.asarray(pdf).reshape(-1), 1e-9))
+    return base._replace(env_prob=tab.prob, env_alias=tab.alias,
+                         env_pmf=tab.pmf)
 
 
 # ---------------------------------------------------------------------------
@@ -190,3 +211,45 @@ def build_sky_map(sky: SkyState, w: int, h: int):
     lum = m.luminance(r, g, b)
     pdf = lum / jnp.maximum(lum.sum(), 1e-9)
     return jnp.stack([r, g, b], axis=-1), pdf
+
+
+# ---------------------------------------------------------------------------
+# Env importance sampling (the NEE sky candidate's distribution —
+# closesthit.cu samples the sky via the equal-area map + alias table)
+# ---------------------------------------------------------------------------
+
+_ENV_OMEGA = 2.0 * jnp.pi / (ENV_W * ENV_H)   # equal-area texel solid angle
+
+
+def sky_env_sample(sky: SkyState, u1, u2, u3):
+    """Draw a sky direction ∝ the env luminance map.  Returns (dir SoA,
+    pdf_solid_angle).  u1 picks the texel (alias), u2/u3 jitter within it."""
+    from ..ops.gatherlib import fast_gather, fast_gather_multi
+    n = ENV_W * ENV_H
+    un = u1 * n
+    col = jnp.clip(un.astype(jnp.int32), 0, n - 1)
+    frac = un - col.astype(jnp.float32)
+    pr, al = fast_gather_multi((sky.env_prob, sky.env_alias), col)
+    texel = jnp.where(frac < pr, col, al)
+    pmf = fast_gather(sky.env_pmf, texel)
+
+    iu = (texel % ENV_W).astype(jnp.float32)
+    iv = (texel // ENV_W).astype(jnp.float32)
+    phi = 2.0 * jnp.pi * (iu + u2) / ENV_W
+    cos_t = 1.0 - (iv + u3) / ENV_H          # v=0 → zenith (equal-area)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    d = (sin_t * jnp.cos(phi), cos_t, sin_t * jnp.sin(phi))
+    pdf = pmf / _ENV_OMEGA
+    return d, pdf
+
+
+def sky_env_pdf(sky: SkyState, d):
+    """Solid-angle pdf sky_env_sample would assign to direction d
+    (0 below the horizon) — the BSDF-side MIS counterweight."""
+    from ..ops.gatherlib import fast_gather
+    phi = jnp.arctan2(d[2], d[0])
+    u = jnp.mod(phi / (2.0 * jnp.pi), 1.0)
+    iu = jnp.clip((u * ENV_W).astype(jnp.int32), 0, ENV_W - 1)
+    iv = jnp.clip(((1.0 - d[1]) * ENV_H).astype(jnp.int32), 0, ENV_H - 1)
+    pmf = fast_gather(sky.env_pmf, iv * ENV_W + iu)
+    return jnp.where(d[1] > 0.0, pmf / _ENV_OMEGA, 0.0)

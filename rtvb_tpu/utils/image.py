@@ -25,13 +25,29 @@ def to_u8(img: np.ndarray) -> np.ndarray:
 
 
 def write_png(path: str, img: np.ndarray) -> None:
-    """img: (H, W, 3) uint8 or float (floats are clamped to [0,1])."""
+    """img: (H, W, 3) uint8 or float (floats are clamped to [0,1]).
+    Prefers the native C encoder (native/rtvb_native.c, the stb_image_write
+    role); falls back to PIL, then the pure-Python writer."""
     if img.dtype != np.uint8:
         img = to_u8(img)
+    from . import native
+    if native.write_png(path, img):
+        return
     if _PIL is not None:
         _PIL.fromarray(img, "RGB").save(path)
         return
     _write_png_raw(path, img)
+
+
+def write_pngs(paths: list[str], imgs) -> None:
+    """Batch write (OfflineBackend.cpp:133-184 std::execution::par role):
+    parallel native encode when available, else sequential."""
+    imgs = [to_u8(i) if i.dtype != np.uint8 else i for i in imgs]
+    from . import native
+    if native.write_pngs(paths, imgs):
+        return
+    for p, i in zip(paths, imgs):
+        write_png(p, i)
 
 
 def read_png(path: str) -> np.ndarray:

@@ -105,22 +105,36 @@ def terrain_heightmap(cfg: WorldConfig, seed: int = DEFAULT_SEED):
     return _heightmap_from_perm(cfg, jnp.asarray(_perm_table(seed)))
 
 
+# Deterministic decoration spots (x, z): flowers on the terrain surface —
+# the canonical scene's instanced-model content (ModelManager decorations
+# role; the flower mesh ships as data/models/flower.obj).
+FLOWER_SPOTS = ((20, 50), (22, 48), (45, 20), (50, 36))
+
+
 def generate_world(cfg: WorldConfig | None = None, seed: int = DEFAULT_SEED,
-                   shader_ball_row: bool = True) -> tuple[WorldConfig, VoxelWorld]:
-    """Build the canonical world: layered terrain + shader-ball test row.
+                   shader_ball_row: bool = True, flowers: bool = True,
+                   nonsolid_ids: tuple = ()) -> tuple[WorldConfig, VoxelWorld]:
+    """Build the canonical world: layered terrain + shader-ball test row +
+    flower decorations.
 
     Band rules (VoxelSceneGen.cu:61-119 equivalent behavior):
       * deep band  [0, h-4): cliff rock
       * mid band   [h-4, h-1): rocks
       * surface    [h-1, h): sand in low terrain, soil/grass higher
+
+    nonsolid_ids: instanced block ids excluded from ray occupancy (their
+    meshes render instead) — pass the registry's instanced set.
     """
     cfg = cfg or WorldConfig()
     perm = jnp.asarray(_perm_table(seed))
-    return cfg, _generate_jit(cfg, perm, shader_ball_row)
+    return cfg, _generate_jit(cfg, perm, shader_ball_row, flowers,
+                              tuple(nonsolid_ids))
 
 
-@partial(jax.jit, static_argnums=(0, 2))
-def _generate_jit(cfg: WorldConfig, perm, shader_ball_row: bool) -> VoxelWorld:
+@partial(jax.jit, static_argnums=(0, 2, 3, 4))
+def _generate_jit(cfg: WorldConfig, perm, shader_ball_row: bool,
+                  flowers: bool = False,
+                  nonsolid_ids: tuple = ()) -> VoxelWorld:
     heights = _heightmap_from_perm(cfg, perm)                # (X, Z)
 
     y = jnp.arange(cfg.y, dtype=jnp.int32)[None, :, None]
@@ -144,6 +158,10 @@ def _generate_jit(cfg: WorldConfig, perm, shader_ball_row: bool) -> VoxelWorld:
         ids_row = jnp.arange(B.SHADERBALL0, B.SHADERBALL0 + 10, dtype=jnp.uint8)
         blocks = blocks.at[bx, 7, 43].set(ids_row)
 
+    if flowers:
+        for fx, fz in FLOWER_SPOTS:
+            blocks = blocks.at[fx, heights[fx, fz], fz].set(jnp.uint8(B.FLOWER))
+
     schema = pack_schema(
         h1[:, 0, :], h2[:, 0, :],
         jnp.full((cfg.x, cfg.z), B.CLIFF, jnp.int32),
@@ -151,4 +169,4 @@ def _generate_jit(cfg: WorldConfig, perm, shader_ball_row: bool) -> VoxelWorld:
         surf_id,
     ).reshape(cfg.col_rows, -1)
 
-    return build_tables(cfg, blocks, schema)
+    return build_tables(cfg, blocks, schema, nonsolid_ids)

@@ -19,6 +19,12 @@ from .voxel import WorldConfig, VoxelWorld, build_tables
 
 
 def fnv1a64(data: bytes) -> int:
+    """FNV-1a 64 (WorldSceneManager.cpp:240-279 chunk-hash role) — native C
+    when built (32 KiB chunk ≈ 30 µs vs ~5 ms in the Python loop)."""
+    from ..utils import native
+    h = native.fnv1a64(data)
+    if h is not None:
+        return h
     h = 0xCBF29CE484222325
     for b in data:
         h ^= b
@@ -100,7 +106,7 @@ class WorldStore:
         meta["last_world"] = name
         self._save_meta(meta)
 
-    def load(self, name: str):
+    def load(self, name: str, nonsolid_ids: tuple = ()):
         """Returns (cfg, VoxelWorld, camera dict, character dict).
         VoxelEngine::reload path: re-upload chunks + rebuild tables."""
         import jax.numpy as jnp
@@ -126,7 +132,8 @@ class WorldStore:
 
         schema = jnp.asarray(np.array(scene["schema"], np.int32)
                              .reshape(cfg.col_rows, -1))
-        world = build_tables(cfg, jnp.asarray(blocks), schema)
+        world = build_tables(cfg, jnp.asarray(blocks), schema,
+                             tuple(nonsolid_ids))
 
         meta = self._load_meta()
         meta["last_world"] = name

@@ -1,0 +1,49 @@
+"""Temporal ReSTIR bias gate: the running mean of the ReSTIR estimator must
+match the plain-RIS accumulation mean (closesthit.cu:636-785 temporal reuse
+is unbiased for a static scene; our surface-similarity acceptance replaces
+the reference's prev-BVH bias-correction rays — this test measures what that
+approximation actually costs)."""
+import numpy as np
+import pytest
+
+from rtvb_tpu.assets import blocks as B
+from rtvb_tpu.core.config import Settings
+from rtvb_tpu.render.renderer import Engine
+
+
+def _mean_frames(eng, n):
+    acc = None
+    for _ in range(n):
+        g = eng.path_trace()
+        rgb = np.stack([np.asarray(g.illum[i] * g.albedo[i])
+                        for i in range(3)], -1)
+        acc = rgb if acc is None else acc + rgb
+    return acc / n
+
+
+@pytest.mark.parametrize("with_light", [False, True])
+def test_temporal_restir_mean_matches_accumulation(with_light):
+    n = 48
+    size = 48
+
+    def build(use_restir):
+        s = Settings().replace(rendering={"use_restir": use_restir})
+        eng = Engine(settings=s, width=size, height=size)
+        if with_light:
+            x, z = 40, 40
+            h = int(np.asarray(eng.world.blocks[x, :, z]).nonzero()[0].max())
+            eng.set_block(x, h + 2, z, B.LANTERN)
+        eng.set_camera(pos=(40.5, 14.0, 32.0), yaw=1.57, pitch=-0.5)
+        return eng
+
+    mean_restir = _mean_frames(build(True), n)
+    mean_ris = _mean_frames(build(False), n)
+
+    lum_r = (mean_restir * [0.2126, 0.7152, 0.0722]).sum(-1)
+    lum_p = (mean_ris * [0.2126, 0.7152, 0.0722]).sum(-1)
+    # image-mean agreement (tight) + per-pixel agreement (loose, MC noise)
+    rel = abs(lum_r.mean() - lum_p.mean()) / max(lum_p.mean(), 1e-6)
+    assert rel < 0.08, (lum_r.mean(), lum_p.mean())
+    mask = lum_p > 0.05
+    per_pix = np.abs(lum_r - lum_p)[mask] / np.maximum(lum_p[mask], 0.05)
+    assert np.median(per_pix) < 0.30, float(np.median(per_pix))
