@@ -162,6 +162,9 @@ def atrous_pass_tpu(illum, var, guide_p, H, W, step: int, phi_lum: float,
                     phi_normal: float, phi_depth: float):
     """One à-trous iteration via the Pallas kernel.  illum (H, W, 3),
     var (H, W); guide_p from pad_guides.  Returns (illum', var')."""
+    assert step <= MAX_STEP, (
+        f"atrous step {step} > MAX_STEP {MAX_STEP}: the VMEM window only "
+        f"holds a 2*MAX_STEP halo — use passes.atrous_pass for larger steps")
     he = (-H) % TILE_R
     we = (-W) % TILE_C
     data = jnp.stack([illum[..., 0], illum[..., 1], illum[..., 2], var])

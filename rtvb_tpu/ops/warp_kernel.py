@@ -154,9 +154,12 @@ def _warp_call(hist, sy, sx, bilinear: bool):
 
 
 def _pad_to_tiles(hist, sy, sx):
+    # Pad to tile multiples AND to at least the DMA window size: the kernel
+    # always copies a (WIN_Y, WIN_X) history window, so a frame smaller than
+    # the window would otherwise DMA past the buffer (silent garbage).
     C, H, W = hist.shape
-    ph = (-H) % TILE_R
-    pw = (-W) % TILE_C
+    ph = max(WIN_Y, H + (-H) % TILE_R) - H
+    pw = max(WIN_X, W + (-W) % TILE_C) - W
     if not ph and not pw:
         return hist, sy, sx, H, W
     hist = jnp.pad(hist, ((0, 0), (0, ph), (0, pw)))
@@ -172,14 +175,22 @@ def warp_nearest(hist, sy, sx):
     sy/sx (H, W) f32 source pixel coords (array convention, y down)."""
     hist, syp, sxp, H, W = _pad_to_tiles(hist, sy, sx)
     out, valid = _warp_call(hist, syp, sxp, False)
-    return out[:, :H, :W], valid[:H, :W]
+    # re-check bounds against the ORIGINAL dims: the kernel only sees the
+    # padded image, so a source coord in the zero-padding would pass its test
+    y = jnp.floor(sy + 0.5).astype(jnp.int32)
+    x = jnp.floor(sx + 0.5).astype(jnp.int32)
+    vo = (y >= 0) & (y < H) & (x >= 0) & (x < W)
+    return out[:, :H, :W], valid[:H, :W] & vo
 
 
 def warp_bilinear(hist, sy, sx):
     """Bilinear variant: blends the 2×2 neighborhood of (sy, sx)."""
     hist, syp, sxp, H, W = _pad_to_tiles(hist, sy, sx)
     out, valid = _warp_call(hist, syp, sxp, True)
-    return out[:, :H, :W], valid[:H, :W]
+    y0 = jnp.floor(sy).astype(jnp.int32)
+    x0 = jnp.floor(sx).astype(jnp.int32)
+    vo = (y0 >= 0) & (y0 < H - 1) & (x0 >= 0) & (x0 < W - 1)
+    return out[:, :H, :W], valid[:H, :W] & vo
 
 
 # ---------------------------------------------------------------------------

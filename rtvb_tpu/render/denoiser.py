@@ -93,9 +93,15 @@ def _denoise_jit(g: GBuffers, state: DenoiserState, cfg: DenoisingSettings):
         H, W = depth.shape
         guide_p = AK.pad_guides(depth, normal, g.roughness)
         for i in range(cfg.atrous_iterations):
-            filtered, var = AK.atrous_pass_tpu(
-                filtered, var, guide_p, H, W, 1 << i,
-                cfg.phi_luminance, cfg.phi_normal, cfg.phi_depth)
+            step = 1 << i
+            if step <= AK.MAX_STEP:
+                filtered, var = AK.atrous_pass_tpu(
+                    filtered, var, guide_p, H, W, step,
+                    cfg.phi_luminance, cfg.phi_normal, cfg.phi_depth)
+            else:   # beyond the kernel's VMEM halo: XLA twin
+                filtered, var = passes.atrous_pass(
+                    filtered, var, depth, normal, g.roughness, step,
+                    cfg.phi_luminance, cfg.phi_normal, cfg.phi_depth)
     else:
         for i in range(cfg.atrous_iterations):
             filtered, var = passes.atrous_pass(

@@ -123,7 +123,8 @@ def material_from_index(mats: MaterialTable, mi, min_roughness):
 
 
 def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
-             n_local: int, trace_any, sun_cos_max):
+             n_local: int, trace_any, sun_cos_max,
+             ent_unreachable: bool = False):
     """Streaming RIS over light candidates (closesthit.cu:330-600):
     n_local local-light + 1 sun + 1 sky candidates → 1 visibility ray."""
     shape = p[0].shape
@@ -138,7 +139,7 @@ def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
     )
 
     def stream(res, wi, dist, le, src_pdf, u, kind, slot=None, face=None,
-               fa=None, fb=None, mis_w=1.0):
+               fa=None, fb=None, mis_w=1.0, force_full=None):
         """Weighted reservoir update. mis_w is the within-strategy MIS weight
         (1/N): candidates estimate the SUM of the local/sun/sky integrals, so
         w = m·p̂/p and the final W = wsum/p̂ carries no M division (GRIS
@@ -152,6 +153,11 @@ def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
         contrib = tuple(fc * cos_i * lc for fc, lc in zip(f, le))
         p_hat = m.luminance(contrib)
         balance = src_pdf / jnp.maximum(src_pdf + pdf_b, 1e-9)
+        if force_full is not None:
+            # the complementary BSDF-hit share is unreachable for this
+            # sample (entity light meshes with entity_in_bounces=False):
+            # NEE must carry the full weight or the light darkens
+            balance = jnp.where(force_full, 1.0, balance)
         w = jnp.where(src_pdf > 1e-9,
                       mis_w * balance * p_hat / jnp.maximum(src_pdf, 1e-9), 0.0)
         wsum = res.wsum + w
@@ -196,8 +202,11 @@ def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
         pdf_sa = pmf * pdf_area * dist2 / jnp.maximum(cos_l, 1e-6)
         le = light_radiance(lights, slot)
         le = m.where3((cos_l > 0.0) & any_lights, le, m.splat(0.0, le[0]))
+        force_full = fast_gather(lights.ent.astype(jnp.float32), slot) > 0.5 \
+            if ent_unreachable else None
         res = stream(res, wi, dist, le, pdf_sa, u_take, restir_mod.KIND_LOCAL,
-                     slot=slot, fa=fa, fb=fb, mis_w=1.0 / n_local)
+                     slot=slot, fa=fa, fb=fb, mis_w=1.0 / n_local,
+                     force_full=force_full)
 
     # sun candidate: uniform cone around sun_dir
     u1, u2 = rs.next2()
@@ -472,7 +481,9 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         # ---- NEE via streaming RIS + one visibility ray ----
         res = _nee_ris(rs, lights, sky_state, m.add(p, m.scale(n, SPAWN_EPS)),
                        n, wo, mat, rs_cfg.local_light_candidates, trace_any,
-                       sun_cos_max)
+                       sun_cos_max,
+                       ent_unreachable=(entities is not None
+                                        and not rs_cfg.entity_in_bounces))
         if bounce == 0 and use_restir:
             n_taps = max(1, rs_cfg.restir_temporal_samples)
             u_takes = tuple(rs.next() for _ in range(n_taps))

@@ -23,6 +23,7 @@ from ..core.camera import Camera, make_camera
 from ..core.config import Settings
 from ..core.scene import SceneConfig
 from ..ops import dda
+from ..utils.hostbuild import host_build
 from ..world import gen, lighting, voxel
 from . import pathtracer, postprocess
 from . import sky as sky_mod
@@ -70,12 +71,16 @@ class Engine:
         # world
         self.cfg, self.world = gen.generate_world(
             seed=self.scene.world_seed, nonsolid_ids=self._nonsolid_ids())
-        self.lights = lighting.build_light_table(
+        # table builds run eagerly on the host CPU backend (utils/hostbuild):
+        # on the accelerator each tiny op compiles separately (~40 s of init
+        # on a 1-core host); on CPU the same build is milliseconds
+        self.lights = host_build(
+            lighting.build_light_table,
             self.cfg, self.world, self.materials, self.block_registry)
         self._n_lights = int(self.lights.count)
 
         # sky + camera
-        self.sky_state = sky_mod.make_sky_state(self.settings.sky)
+        self.sky_state = host_build(sky_mod.make_sky_state, self.settings.sky)
         self.camera = make_camera(
             pos=self.scene.camera_pos, yaw=self.scene.camera_yaw,
             pitch=self.scene.camera_pitch,
@@ -467,7 +472,8 @@ class Engine:
                 f"capacity {self.cfg.max_exceptions} — highest-key edits "
                 f"will render as their column schema block", stacklevel=2)
         prev_lights = self.lights
-        self.lights = lighting.build_light_table(
+        self.lights = host_build(
+            lighting.build_light_table,
             self.cfg, self.world, self.materials, self.block_registry)
         self._n_lights = int(self.lights.count)
         remap = lighting.light_id_remap(prev_lights, self.lights)

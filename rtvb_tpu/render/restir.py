@@ -55,6 +55,21 @@ class ReSTIRState(NamedTuple):
     le_b: jnp.ndarray
 
 
+def _shift_dyn(arr, dy, dx, axes, max_off: int = 2):
+    """roll(+dy,+dx)-like shift with EDGE CLAMP instead of wraparound, for
+    traced integer offsets |dy|,|dx| <= max_off: edge-pad once, then
+    dynamic-slice at (max_off - dy, max_off - dx)."""
+    import jax.lax as lax
+    pad = [(0, 0)] * arr.ndim
+    for ax in axes:
+        pad[ax] = (max_off, max_off)
+    padded = jnp.pad(arr, pad, mode="edge")
+    starts = [jnp.int32(0)] * arr.ndim
+    starts[axes[0]] = jnp.clip(max_off - dy, 0, 2 * max_off)
+    starts[axes[1]] = jnp.clip(max_off - dx, 0, 2 * max_off)
+    return lax.dynamic_slice(padded, starts, arr.shape)
+
+
 def initial_state(h: int, w: int) -> ReSTIRState:
     z = jnp.zeros((h, w))
     zi = jnp.zeros((h, w), jnp.int32)
@@ -152,10 +167,12 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
     got0, wvalid = dispatch_nearest(pack, sy, sx)
     valid0 = inb0 & wvalid
 
-    # frame-varying jitter offsets for the extra taps (R2-ish integer cycle)
+    # frame-varying jitter offsets for the extra taps (R2-ish integer cycle);
+    # generated programmatically so any n_taps works (primes decorrelate taps)
     fi = jnp.asarray(frame_idx, jnp.int32)
-    offs = [(fi * 2 + 1) % 5 - 2, (fi * 3 + 2) % 5 - 2,
-            -((fi * 2 + 3) % 5 - 2), (fi * 5 + 1) % 5 - 2]
+    _PRIMES = (2, 3, 5, 7, 11, 13, 17, 19)
+    offs = [((fi * _PRIMES[i % len(_PRIMES)] + i + 1) % 5 - 2) * (-1 if i % 3 == 2 else 1)
+            for i in range(2 * max(n_taps - 1, 0) + 2)]
 
     from ..ops.gatherlib import fast_gather
 
@@ -176,10 +193,14 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
         if t == 0:
             tap, tvalid = got0, valid0
         else:
+            # edge-CLAMPED shift (reflected-clamp role of closesthit.cu:
+            # 660-671): jnp.roll would wrap, letting border pixels read
+            # reservoirs from the opposite screen edge — a similar surface
+            # there passes the validity tests and biases edge pixels
             dy = offs[2 * (t - 1)]
             dx = offs[2 * (t - 1) + 1]
-            tap = jnp.roll(got0, (dy, dx), axis=(1, 2))
-            tvalid = jnp.roll(valid0, (dy, dx), axis=(0, 1))
+            tap = _shift_dyn(got0, dy, dx, axes=(1, 2))
+            tvalid = _shift_dyn(valid0, dy, dx, axes=(0, 1))
         pk = lax.bitcast_convert_type(tap[0], jnp.int32)
         pslot = lax.bitcast_convert_type(tap[1], jnp.int32)
         pface = lax.bitcast_convert_type(tap[2], jnp.int32)

@@ -54,6 +54,9 @@ class LightTable(NamedTuple):
     rad_g: jnp.ndarray
     rad_b: jnp.ndarray
     key: jnp.ndarray      # (K,) i32 identity voxel_key*16 + ordinal
+    ent: jnp.ndarray      # (K,) bool: triangle belongs to an instanced
+                          # decoration mesh (reachable by BSDF rays only when
+                          # entities are tested in bounces — MIS needs this)
     active: jnp.ndarray   # (K,) bool
     count: jnp.ndarray    # () i32 number of active light triangles
     prob: jnp.ndarray     # alias table over slots
@@ -117,10 +120,10 @@ def emissive_triangles(cfg: WorldConfig, world: VoxelWorld,
                 v0 = lv0[t] + pos
                 e1 = lv1[t] - lv0[t]
                 e2 = lv2[t] - lv0[t]
-                out.append((int(exc_key[i]), t, v0, e1, e2, e))
+                out.append((int(exc_key[i]), t, v0, e1, e2, e, True))
         else:
             for t, (o, eu, ev) in enumerate(_cube_triangles()):
-                out.append((int(exc_key[i]), t, o + pos, eu, ev, e))
+                out.append((int(exc_key[i]), t, o + pos, eu, ev, e, False))
     return out
 
 
@@ -153,10 +156,12 @@ def build_light_table(cfg: WorldConfig, world: VoxelWorld,
     area = np.zeros(k, np.float32)
     rad = np.zeros((k, 3), np.float32)
     key = np.full(k, LIGHT_KEY_EMPTY, np.int32)
+    ent = np.zeros(k, bool)
     active = np.zeros(k, bool)
     weights = np.zeros(k, np.float64)
 
-    for s, (vk, t, a, b, c, e) in enumerate(tris):
+    for s, (vk, t, a, b, c, e, is_ent) in enumerate(tris):
+        ent[s] = is_ent
         v0[s] = a
         e1[s] = b
         e2[s] = c
@@ -180,6 +185,7 @@ def build_light_table(cfg: WorldConfig, world: VoxelWorld,
         area=j(area),
         rad_r=j(rad[:, 0]), rad_g=j(rad[:, 1]), rad_b=j(rad[:, 2]),
         key=j(key),
+        ent=j(ent),
         active=j(active),
         count=jnp.int32(int(active.sum())),
         prob=table.prob, alias=table.alias, pmf=table.pmf,
