@@ -264,7 +264,7 @@ class InteractiveApp:
         ui.menu_action("select", "default")
         character = Character(cfg_world=eng.cfg,
                               move=self.settings.character_movement)
-        character.entity.update_vertices()
+        character._update_pose()
         eng.add_entity(character.entity)
         handler = InputHandler(self.settings.camera_movement, mode="free")
         pose = CameraPose(np.array(self.scene.camera_pos, np.float32),

@@ -120,6 +120,8 @@ SOIL = _REG.id_of("soil")
 CLIFF = _REG.id_of("cliff")
 ROCKS = _REG.id_of("rocks")
 GRASS = _REG.id_of("grass")
+PLANK = _REG.id_of("plank")
+BRICK = _REG.id_of("brick")
 LANTERN = _REG.id_of("lantern")
 GLASS = _REG.id_of("glass")
 WATER = _REG.id_of("water")

@@ -18,18 +18,26 @@ import jax.numpy as jnp
 RESAMPLE_HZ = 30.0
 
 
+def _xp(a):
+    """numpy for host arrays, jnp for device arrays/tracers.  Pose math runs
+    per frame on the HOST (reference: AnimationManager on CPU, only joint
+    matrices uploaded) — eager jnp would dispatch dozens of tiny device ops."""
+    return np if isinstance(a, np.ndarray) else jnp
+
+
 def _slerp(q0, q1, t):
+    xp = _xp(q0)
     d = (q0 * q1).sum(-1, keepdims=True)
-    q1 = jnp.where(d < 0, -q1, q1)
-    d = jnp.abs(d)
+    q1 = xp.where(d < 0, -q1, q1)
+    d = xp.abs(d)
     # nlerp fallback for near-parallel; slerp otherwise
-    theta = jnp.arccos(jnp.clip(d, -1.0, 1.0))
-    sin_t = jnp.sin(theta)
+    theta = xp.arccos(xp.clip(d, -1.0, 1.0))
+    sin_t = xp.sin(theta)
     use_slerp = sin_t > 1e-4
-    w0 = jnp.where(use_slerp, jnp.sin((1 - t) * theta) / jnp.maximum(sin_t, 1e-8), 1 - t)
-    w1 = jnp.where(use_slerp, jnp.sin(t * theta) / jnp.maximum(sin_t, 1e-8), t)
+    w0 = xp.where(use_slerp, xp.sin((1 - t) * theta) / xp.maximum(sin_t, 1e-8), 1 - t)
+    w1 = xp.where(use_slerp, xp.sin(t * theta) / xp.maximum(sin_t, 1e-8), t)
     q = w0 * q0 + w1 * q1
-    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
+    return q / xp.maximum(xp.linalg.norm(q, axis=-1, keepdims=True), 1e-8)
 
 
 @dataclass
@@ -79,19 +87,24 @@ class AnimationClip:
     def device_tracks(self):
         return jnp.asarray(self.t), jnp.asarray(self.r), jnp.asarray(self.s)
 
+    def host_tracks(self):
+        return self.t, self.r, self.s
+
 
 def evaluate(clip_tracks, time, duration, loop=True):
-    """Sample uniform tracks at `time` (traced scalar) → (J,3),(J,4),(J,3).
+    """Sample uniform tracks at `time` → (J,3),(J,4),(J,3).  Host numpy
+    tracks → numpy pose; device tracks / traced scalar → jnp (jittable).
     evaluateAnimation (AnimationManager.cpp:231) equivalent."""
     t_arr, r_arr, s_arr = clip_tracks
+    xp = _xp(t_arr)
     f = t_arr.shape[0]
-    tt = jnp.asarray(time, jnp.float32)
+    tt = xp.asarray(time, xp.float32)
     if loop:
-        tt = jnp.mod(tt, duration)
+        tt = xp.mod(tt, duration)
     else:
-        tt = jnp.clip(tt, 0.0, duration)
+        tt = xp.clip(tt, 0.0, duration)
     x = tt / duration * (f - 1)
-    i0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, f - 2)
+    i0 = xp.clip(xp.floor(x).astype(xp.int32), 0, f - 2)
     w = (x - i0)[..., None, None]
     t = t_arr[i0] * (1 - w) + t_arr[i0 + 1] * w
     s = s_arr[i0] * (1 - w) + s_arr[i0 + 1] * w
@@ -104,14 +117,14 @@ def blend(pose_a, pose_b, alpha):
     ta, ra, sa = pose_a
     tb, rb, sb = pose_b
     return (ta * (1 - alpha) + tb * alpha,
-            _slerp(ra, rb, jnp.asarray(alpha)[..., None]),
+            _slerp(ra, rb, _xp(ra).asarray(alpha)[..., None]),
             sa * (1 - alpha) + sb * alpha)
 
 
 def quat_mul(a, b):
     ax, ay, az, aw = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
     bx, by, bz, bw = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
-    return jnp.stack([
+    return _xp(a).stack([
         aw * bx + ax * bw + ay * bz - az * by,
         aw * by - ax * bz + ay * bw + az * bx,
         aw * bz + ax * by - ay * bx + az * bw,
@@ -125,12 +138,17 @@ def additive(base_pose, add_pose, ref_pose, weight):
     tb, rb, sb = base_pose
     ta, ra, sa = add_pose
     tr, rr, sr = ref_pose
+    xp = _xp(rb)
     t = tb + (ta - tr) * weight
     # delta rotation = add * inverse(ref)
-    rr_inv = rr * jnp.array([-1.0, -1.0, -1.0, 1.0])
+    rr_inv = rr * xp.asarray([-1.0, -1.0, -1.0, 1.0], xp.float32)
     delta = quat_mul(ra, rr_inv)
-    ident = jnp.zeros_like(delta).at[..., 3].set(1.0)
-    delta_w = _slerp(ident, delta, jnp.asarray(weight)[..., None])
+    ident = xp.zeros_like(delta)
+    if xp is np:
+        ident[..., 3] = 1.0
+    else:
+        ident = ident.at[..., 3].set(1.0)
+    delta_w = _slerp(ident, delta, xp.asarray(weight)[..., None])
     r = quat_mul(delta_w, rb)
     s = sb * (1 + (sa - sr) * weight)
     return t, r, s

@@ -50,15 +50,35 @@ class Entity:
     _prev_pos: Optional[jnp.ndarray] = None
     _cur_norm: Optional[jnp.ndarray] = None
 
-    def model_matrix(self) -> jnp.ndarray:
+    # host-side per-frame pose: composed model∘skinning matrices, (J,4,4)
+    # (or (1,4,4) plain model transform for unskinned meshes).  The device
+    # packer (renderer.pack_entities) consumes these — only these tiny
+    # matrices cross host→device per frame (Skeleton.h:96-105 d_jointMatrices
+    # upload role); vertices never come back to the host.
+    joint_mats: Optional[np.ndarray] = None
+    prev_joint_mats: Optional[np.ndarray] = None
+
+    def model_matrix_np(self) -> np.ndarray:
         c, s = np.cos(self.yaw), np.sin(self.yaw)
-        m = np.array([
+        return np.array([
             [c * self.scale, 0, s * self.scale, self.position[0]],
             [0, self.scale, 0, self.position[1]],
             [-s * self.scale, 0, c * self.scale, self.position[2]],
             [0, 0, 0, 1],
         ], np.float32)
-        return jnp.asarray(m)
+
+    def model_matrix(self) -> jnp.ndarray:
+        return jnp.asarray(self.model_matrix_np())
+
+    def set_pose(self, mats: np.ndarray):
+        """Publish this frame's composed (model ∘ skinning) matrices, shifting
+        the previous frame's for motion vectors (Entity prevAttributes)."""
+        mats = np.asarray(mats, np.float32)
+        if mats.ndim == 2:
+            mats = mats[None]
+        self.prev_joint_mats = self.joint_mats \
+            if self.joint_mats is not None else mats
+        self.joint_mats = mats
 
     def update_vertices(self, skin_mats=None):
         """Recompute world-space vertices (skinned if skeleton present),

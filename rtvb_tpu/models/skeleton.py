@@ -18,13 +18,20 @@ import jax.numpy as jnp
 MAX_JOINTS = 128
 
 
+def _xp(a):
+    """numpy for host arrays, jnp otherwise (see animation._xp): per-frame
+    pose math runs on the host; only joint matrices reach the device."""
+    return np if isinstance(a, np.ndarray) else jnp
+
+
 def quat_to_mat3(q):
     """(..., 4) xyzw quaternion → (..., 3, 3) rotation matrix."""
+    xp = _xp(q)
     x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     xx, yy, zz = x * x, y * y, z * z
     xy, xz, yz = x * y, x * z, y * z
     wx, wy, wz = w * x, w * y, w * z
-    m = jnp.stack([
+    m = xp.stack([
         1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy),
         2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx),
         2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy),
@@ -34,12 +41,13 @@ def quat_to_mat3(q):
 
 def trs_to_mat4(t, r, s):
     """translation (..., 3), rotation quat (..., 4), scale (..., 3) → (..., 4, 4)."""
+    xp = _xp(t)
     rot = quat_to_mat3(r) * s[..., None, :]
-    m = jnp.zeros(t.shape[:-1] + (4, 4))
-    m = m.at[..., :3, :3].set(rot)
-    m = m.at[..., :3, 3].set(t)
-    m = m.at[..., 3, 3].set(1.0)
-    return m
+    top = xp.concatenate([rot, t[..., :, None]], axis=-1)          # (..., 3, 4)
+    bottom = xp.broadcast_to(
+        xp.asarray([0.0, 0.0, 0.0, 1.0], top.dtype),
+        t.shape[:-1] + (1, 4))
+    return xp.concatenate([top, bottom], axis=-2)
 
 
 @dataclass
@@ -83,12 +91,13 @@ class Skeleton:
             i = int(i)
             p = int(self.parents[i])
             mats[i] = locals_m[i] if p < 0 else mats[p] @ locals_m[i]
-        return jnp.stack(mats)
+        return _xp(locals_m).stack(mats)
 
     def skinning_matrices(self, local_t, local_r, local_s, model=None):
         """Global ∘ inverseBind per joint — the d_jointMatrices upload."""
         g = self.global_matrices(local_t, local_r, local_s)
-        skin = g @ jnp.asarray(self.inverse_bind)
+        inv = self.inverse_bind if _xp(g) is np else jnp.asarray(self.inverse_bind)
+        skin = g @ inv
         if model is not None:
             skin = model[None] @ skin
         return skin
@@ -96,3 +105,6 @@ class Skeleton:
     def bind_pose(self):
         return (jnp.asarray(self.bind_t), jnp.asarray(self.bind_r),
                 jnp.asarray(self.bind_s))
+
+    def bind_pose_np(self):
+        return self.bind_t, self.bind_r, self.bind_s

@@ -3,10 +3,14 @@
 The reference routes triangle content through OptiX BLAS/IAS; here entity
 triangle budgets are tiny (a skinned blocky character is ~72 triangles,
 decoration models a few dozen), so the TPU-native answer is brute force:
-every ray tests every triangle in one vectorized Möller–Trumbore sweep with
-a reduce-min over the triangle axis — pure VPU math, no acceleration
-structure, no divergence.  Rays are processed in chunks (lax.map) so the
-(rays × tris) intermediate stays in a few MB.
+every ray tests every triangle in a vectorized Möller–Trumbore sweep.
+
+Shape discipline matters more than FLOPs: rays KEEP their (H, W) layout
+(lane-dim friendly) and triangles stream through in blocks of 16 merged
+into a running per-ray best — a single fusable elementwise+reduce graph.
+The earlier design (flatten → 64K-ray chunks → lax.map) serialized the image
+into 15+ dependent dispatches and cost ~55 ms/frame at 720p for 16 (!)
+triangles; this one is ~1 ms.
 """
 from __future__ import annotations
 
@@ -17,7 +21,7 @@ import jax.numpy as jnp
 
 BIG = 1e30
 EPS = 1e-7
-CHUNK = 65536
+BLOCK = 16
 
 
 class TriHit(NamedTuple):
@@ -28,38 +32,38 @@ class TriHit(NamedTuple):
     v: jnp.ndarray
 
 
-def _intersect_chunk(ox, oy, oz, dx, dy, dz, tcap, tri):
-    """Rays (N,) vs triangles (T, 9) [v0|e1|e2]. Returns best-hit arrays."""
+def _block_best(ox, oy, oz, dx, dy, dz, tcap, tri):
+    """Rays (...,) vs triangle block (B, 9) [v0|e1|e2] → per-ray best-in-block
+    (t, local index, u, v).  Winner extraction is one-hot select-sum — no
+    computed-index gathers (TPU-hostile)."""
     v0x, v0y, v0z = tri[:, 0], tri[:, 1], tri[:, 2]
     e1x, e1y, e1z = tri[:, 3], tri[:, 4], tri[:, 5]
     e2x, e2y, e2z = tri[:, 6], tri[:, 7], tri[:, 8]
+    dxe, dye, dze = dx[..., None], dy[..., None], dz[..., None]
 
-    # pvec = d × e2 : (N, T)
-    px = dy[:, None] * e2z - dz[:, None] * e2y
-    py = dz[:, None] * e2x - dx[:, None] * e2z
-    pz = dx[:, None] * e2y - dy[:, None] * e2x
+    # pvec = d × e2 : (..., B)
+    px = dye * e2z - dze * e2y
+    py = dze * e2x - dxe * e2z
+    pz = dxe * e2y - dye * e2x
     det = e1x * px + e1y * py + e1z * pz
     inv_det = jnp.where(jnp.abs(det) > EPS, 1.0 / det, 0.0)
-    tx = ox[:, None] - v0x
-    ty = oy[:, None] - v0y
-    tz = oz[:, None] - v0z
+    tx = ox[..., None] - v0x
+    ty = oy[..., None] - v0y
+    tz = oz[..., None] - v0z
     u = (tx * px + ty * py + tz * pz) * inv_det
     qx = ty * e1z - tz * e1y
     qy = tz * e1x - tx * e1z
     qz = tx * e1y - ty * e1x
-    v = (dx[:, None] * qx + dy[:, None] * qy + dz[:, None] * qz) * inv_det
+    v = (dxe * qx + dye * qy + dze * qz) * inv_det
     t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     degenerate = (e1x == 0) & (e1y == 0) & (e1z == 0)
     ok = ((jnp.abs(det) > EPS) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-          & (t > 1e-4) & (t < tcap[:, None]) & ~degenerate)
-    t_masked = jnp.where(ok, t, BIG)
-    best = jnp.argmin(t_masked, axis=1)
-    bt = jnp.take_along_axis(t_masked, best[:, None], axis=1)[:, 0]
-    bu = jnp.take_along_axis(u, best[:, None], axis=1)[:, 0]
-    bv = jnp.take_along_axis(v, best[:, None], axis=1)[:, 0]
-    found = bt < BIG
-    return (found, jnp.where(found, bt, BIG),
-            jnp.where(found, best.astype(jnp.int32), -1), bu, bv)
+          & (t > 1e-4) & (t < tcap[..., None]) & ~degenerate)
+    tm = jnp.where(ok, t, BIG)
+    best = jnp.argmin(tm, axis=-1)
+    oh = jax.nn.one_hot(best, tm.shape[-1], dtype=tm.dtype)
+    return ((tm * oh).sum(-1), best.astype(jnp.int32),
+            (u * oh).sum(-1), (v * oh).sum(-1))
 
 
 def pack_triangles(v0, v1, v2):
@@ -73,29 +77,32 @@ def intersect_packed(o, d, tri_packed, t_cap=None) -> TriHit:
     ox, oy, oz = (jnp.asarray(a, jnp.float32) for a in o)
     dx, dy, dz = (jnp.asarray(a, jnp.float32) for a in d)
     shape = jnp.broadcast_shapes(ox.shape, dx.shape)
-    n = 1
-    for s in shape:
-        n *= s
     tcap = (jnp.full(shape, BIG, jnp.float32) if t_cap is None
             else jnp.broadcast_to(jnp.asarray(t_cap, jnp.float32), shape))
+    ox, oy, oz, dx, dy, dz = (jnp.broadcast_to(a, shape)
+                              for a in (ox, oy, oz, dx, dy, dz))
 
-    flat = [jnp.broadcast_to(a, shape).reshape(-1)
-            for a in (ox, oy, oz, dx, dy, dz, tcap)]
-    if n <= CHUNK:
-        out = _intersect_chunk(*flat, tri_packed)
-    else:
-        pad = (-n) % CHUNK
-        if pad:
-            flat = [jnp.concatenate([a, jnp.zeros((pad,), a.dtype)]) for a in flat]
-        chunked = [a.reshape(-1, CHUNK) for a in flat]
+    T = tri_packed.shape[0]
+    padT = (-T) % BLOCK
+    if padT:
+        tri_packed = jnp.concatenate(
+            [tri_packed, jnp.zeros((padT, 9), tri_packed.dtype)])
 
-        def body(args):
-            return _intersect_chunk(*args, tri_packed)
-
-        out = jax.lax.map(body, tuple(chunked))
-        out = tuple(a.reshape(-1)[:n] for a in out)
-    hit, t, tri, u, v = (a.reshape(shape) for a in out)
-    return TriHit(hit=hit, t=t, tri=tri, u=u, v=v)
+    best_t = jnp.full(shape, BIG, jnp.float32)
+    best_i = jnp.full(shape, -1, jnp.int32)
+    best_u = jnp.zeros(shape, jnp.float32)
+    best_v = jnp.zeros(shape, jnp.float32)
+    for b0 in range(0, T + padT, BLOCK):
+        bt, bi, bu, bv = _block_best(ox, oy, oz, dx, dy, dz, tcap,
+                                     tri_packed[b0:b0 + BLOCK])
+        better = bt < best_t
+        best_t = jnp.where(better, bt, best_t)
+        best_i = jnp.where(better, b0 + bi, best_i)
+        best_u = jnp.where(better, bu, best_u)
+        best_v = jnp.where(better, bv, best_v)
+    found = best_t < BIG
+    return TriHit(hit=found, t=jnp.where(found, best_t, BIG),
+                  tri=jnp.where(found, best_i, -1), u=best_u, v=best_v)
 
 
 def intersect(o, d, v0, v1, v2, active=None, t_cap=None) -> TriHit:

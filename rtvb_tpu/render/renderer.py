@@ -38,6 +38,50 @@ def _trace_params(cfg: voxel.WorldConfig, max_steps: int) -> dda.TraceParams:
     )
 
 
+@partial(jax.jit, static_argnames=("pad",))
+def _pack_entity_tris(statics, mats, prev_mats, decor, pad):
+    """Device-side entity triangle pack: LBS (or plain transform) + triangle
+    gather + [v0|e1|e2] packing for current AND previous frame, concatenated
+    with the static decoration soup.  Only the (J,4,4) joint matrices are
+    fresh uploads each frame (VertexSkinning.cu:46-73 + per-frame BLAS-refit
+    replacement).  `statics` is a list of per-entity mesh buffer dicts,
+    `mats`/`prev_mats` lists of composed model∘skinning matrices."""
+    from ..models.skinning import skin_vertices
+
+    packs = [decor["packed"]]
+    nrms = [decor["normals"]]
+    pv0s, pv1s, pv2s = [decor["v0"]], [decor["v1"]], [decor["v2"]]
+    for st, cm, pm in zip(statics, mats, prev_mats):
+        def world_verts(m):
+            if st["joints"] is not None and m.shape[0] > 1:
+                # normals unused here (intersector uses geometric normals)
+                p, _ = skin_vertices(st["pos"], st["pos"], st["joints"],
+                                     st["weights"], m)
+                return p
+            p4 = jnp.concatenate(
+                [st["pos"], jnp.ones_like(st["pos"][:, :1])], axis=-1)
+            return (p4 @ m[0].T)[:, :3]
+
+        cp = world_verts(cm)
+        pp = world_verts(pm)
+        i0, i1, i2 = st["i0"], st["i1"], st["i2"]
+        v0, v1, v2 = cp[i0], cp[i1], cp[i2]
+        e1, e2 = v1 - v0, v2 - v0
+        packs.append(jnp.concatenate([v0, e1, e2], axis=-1))
+        n = jnp.cross(e1, e2)
+        nrms.append(n / jnp.maximum(
+            jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12))
+        pv0s.append(pp[i0])
+        pv1s.append(pp[i1])
+        pv2s.append(pp[i2])
+    z3 = jnp.zeros((pad, 3), jnp.float32)
+    return (jnp.concatenate(packs + [jnp.zeros((pad, 9), jnp.float32)]),
+            jnp.concatenate(nrms + [z3]),
+            jnp.concatenate(pv0s + [z3]),
+            jnp.concatenate(pv1s + [z3]),
+            jnp.concatenate(pv2s + [z3]))
+
+
 class Engine:
     def __init__(self, settings: Settings | None = None,
                  scene: SceneConfig | None = None,
@@ -103,7 +147,11 @@ class Engine:
         self.entities: list = []
         self._decor_dirty = True
         self._decor_tris = None
+        self._decor_epoch = 0
+        self._decor_device = None       # device-resident decor geometry
         self._entity_cache = None
+        self._entity_static_cache: dict[int, Any] = {}
+        self._entity_meta = None        # (key, mat_index, light_slot) cache
         self.max_entity_tris = 256
 
     # ------------------------------------------------------------------
@@ -194,74 +242,115 @@ class Engine:
             zi = np.zeros(0, np.int32)
             self._decor_tris = (z, z, z, zi, zi)
         self._decor_dirty = False
+        self._decor_epoch += 1
+        self._decor_device = None
         return self._decor_tris
+
+    def _entity_static(self, e):
+        """Per-entity static device buffers, uploaded once (mesh is immutable;
+        only joint matrices cross host→device per frame —
+        Skeleton.h:96-105 / VertexSkinning.cu:46-73 role)."""
+        st = self._entity_static_cache.get(id(e))
+        if st is None:
+            m = e.mesh
+            st = {
+                "pos": jnp.asarray(m.positions, jnp.float32),
+                "joints": (jnp.asarray(m.joints, jnp.int32)
+                           if m.joints is not None else None),
+                "weights": (jnp.asarray(m.weights, jnp.float32)
+                            if m.weights is not None else None),
+                "i0": jnp.asarray(m.indices[:, 0], jnp.int32),
+                "i1": jnp.asarray(m.indices[:, 1], jnp.int32),
+                "i2": jnp.asarray(m.indices[:, 2], jnp.int32),
+            }
+            self._entity_static_cache[id(e)] = st
+        return st
+
+    def _decor_geo(self):
+        """Device-resident decoration geometry, rebuilt only on world edits."""
+        dv0, dv1, dv2, _, _ = self._decoration_triangles()
+        if self._decor_device is None:
+            nrm = np.cross(dv1 - dv0, dv2 - dv0)
+            nrm = nrm / np.maximum(
+                np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
+            self._decor_device = {
+                "packed": jnp.asarray(
+                    np.concatenate([dv0, dv1 - dv0, dv2 - dv0], axis=-1)),
+                "normals": jnp.asarray(nrm.astype(np.float32)),
+                "v0": jnp.asarray(dv0), "v1": jnp.asarray(dv1),
+                "v2": jnp.asarray(dv2),
+            }
+        return self._decor_device
 
     def entity_buffers(self):
         """Fixed-size EntityBuffers for the intersector, or None when the
-        scene has no triangle content (static shape across frames).  With no
-        live entities the device buffers are cached until an edit — no
-        per-frame host rebuild/upload (OptixRenderer.cpp:487-555 role)."""
+        scene has no triangle content (static shape across frames).  Static
+        scenes cache the device buffers until an edit; live entities run a
+        jitted device-side pack (LBS + transform + triangle gather) fed only
+        by this frame's joint matrices — vertices never round-trip the host
+        (OptixRenderer.cpp:487-555 / VertexSkinning.cu refit role)."""
         if not self.entities and not self._decor_dirty \
                 and self._entity_cache is not None:
             return self._entity_cache
 
         dv0, dv1, dv2, dmat, dslot = self._decoration_triangles()
-        v0s, v1s, v2s, mats = [dv0], [dv1], [dv2], [dmat]
-        slots = [dslot]
-        pv0s, pv1s, pv2s = [dv0], [dv1], [dv2]
-        for e in self.entities:
-            if e._cur_pos is None:
-                e.update_vertices()
-            cv0, cv1, cv2 = (np.asarray(v) for v in e.triangles())
-            idx = e.mesh.indices
-            prev = np.asarray(e._prev_pos)
-            v0s.append(cv0)
-            v1s.append(cv1)
-            v2s.append(cv2)
-            pv0s.append(prev[idx[:, 0]])
-            pv1s.append(prev[idx[:, 1]])
-            pv2s.append(prev[idx[:, 2]])
-            mats.append(np.full(len(cv0),
-                                self.material_registry.index_of(e.material),
-                                np.int32))
-            slots.append(np.full(len(cv0), -1, np.int32))
-        v0 = np.concatenate(v0s)
-        if len(v0) == 0:
+        n_tris = len(dv0) + sum(e.mesh.n_triangles for e in self.entities)
+        if n_tris == 0:
             self._entity_cache = None
             return None
-        v1 = np.concatenate(v1s)
-        v2 = np.concatenate(v2s)
-        pv0 = np.concatenate(pv0s)
-        pv1 = np.concatenate(pv1s)
-        pv2 = np.concatenate(pv2s)
-        mat = np.concatenate(mats)
-        assert len(v0) <= self.max_entity_tris, \
-            f"entity triangle budget exceeded: {len(v0)}"
+        assert n_tris <= self.max_entity_tris, \
+            f"entity triangle budget exceeded: {n_tris}"
         # pad to the next power of two (min 16): the brute-force intersector
         # costs O(T) per ray per wave, so a 16-triangle flower scene must
         # not pay for the 256-slot worst case (size buckets recompile once)
         t_max = 16
-        while t_max < len(v0):
+        while t_max < n_tris:
             t_max *= 2
-        pad = t_max - len(v0)
+        pad = t_max - n_tris
 
-        def padv(a):
-            return jnp.asarray(np.concatenate([a, np.zeros((pad, 3), np.float32)]))
+        # per-triangle material / light-slot metadata: static per scene
+        meta_key = (self._decor_epoch, tuple(id(e) for e in self.entities),
+                    t_max)
+        if self._entity_meta is None or self._entity_meta[0] != meta_key:
+            mat = np.concatenate(
+                [dmat] + [np.full(e.mesh.n_triangles,
+                                  self.material_registry.index_of(e.material),
+                                  np.int32) for e in self.entities]
+                + [np.zeros(pad, np.int32)])
+            slot = np.concatenate(
+                [dslot] + [np.full(e.mesh.n_triangles, -1, np.int32)
+                           for e in self.entities]
+                + [np.full(pad, -1, np.int32)])
+            self._entity_meta = (meta_key, jnp.asarray(mat), jnp.asarray(slot))
 
-        nrm = np.cross(v1 - v0, v2 - v0)
-        nrm = nrm / np.maximum(np.linalg.norm(nrm, axis=-1, keepdims=True), 1e-12)
-        packed = np.concatenate([v0, v1 - v0, v2 - v0], axis=-1)
-        packed = np.concatenate([packed, np.zeros((pad, 9), np.float32)])
-        slot = np.concatenate(slots)
-        self._entity_cache = pathtracer.EntityBuffers(
-            tri_packed=jnp.asarray(packed),
-            normals=padv(nrm),
-            prev_v0=padv(pv0), prev_v1=padv(pv1), prev_v2=padv(pv2),
-            mat_index=jnp.asarray(np.concatenate([mat, np.zeros(pad, np.int32)])),
-            light_slot=jnp.asarray(np.concatenate(
-                [slot, np.full(pad, -1, np.int32)])),
-        )
-        return self._entity_cache
+        decor = self._decor_geo()
+        if not self.entities:
+            z3 = jnp.zeros((pad, 3), jnp.float32)
+            self._entity_cache = pathtracer.EntityBuffers(
+                tri_packed=jnp.concatenate(
+                    [decor["packed"], jnp.zeros((pad, 9), jnp.float32)]),
+                normals=jnp.concatenate([decor["normals"], z3]),
+                prev_v0=jnp.concatenate([decor["v0"], z3]),
+                prev_v1=jnp.concatenate([decor["v1"], z3]),
+                prev_v2=jnp.concatenate([decor["v2"], z3]),
+                mat_index=self._entity_meta[1],
+                light_slot=self._entity_meta[2])
+            return self._entity_cache
+
+        statics, mats, prevs = [], [], []
+        for e in self.entities:
+            statics.append(self._entity_static(e))
+            cm = e.joint_mats if e.joint_mats is not None \
+                else e.model_matrix_np()[None]
+            pm = e.prev_joint_mats if e.prev_joint_mats is not None else cm
+            mats.append(jnp.asarray(cm, jnp.float32))
+            prevs.append(jnp.asarray(pm, jnp.float32))
+        packed, nrm, pv0, pv1, pv2 = _pack_entity_tris(
+            statics, mats, prevs, decor, pad)
+        return pathtracer.EntityBuffers(
+            tri_packed=packed, normals=nrm,
+            prev_v0=pv0, prev_v1=pv1, prev_v2=pv2,
+            mat_index=self._entity_meta[1], light_slot=self._entity_meta[2])
 
     # ------------------------------------------------------------------
     # compiled pipelines
@@ -461,16 +550,31 @@ class Engine:
     # ------------------------------------------------------------------
 
     def set_block(self, x: int, y: int, z: int, block_id: int):
-        prev = self.world
         self.world = voxel.set_block(self.cfg, self.world, x, y, z, block_id,
                                      self._nonsolid_ids())
+        return self._after_edit()
+
+    def set_blocks(self, xyz, ids):
+        """Bulk edit: N placements/removals, one table + light rebuild."""
+        self.world = voxel.set_blocks(self.cfg, self.world, xyz, ids,
+                                      self._nonsolid_ids())
+        return self._after_edit()
+
+    def _after_edit(self):
         n_exc = voxel.exception_count(self.cfg, self.world)
         if n_exc > self.cfg.max_exceptions:
-            import warnings
-            warnings.warn(
-                f"exception table overflow: {n_exc} deviating voxels > "
-                f"capacity {self.cfg.max_exceptions} — highest-key edits "
-                f"will render as their column schema block", stacklevel=2)
+            # grow the exception list to the next pow2 bucket and rebuild —
+            # one recompile per doubling (same policy as the light table);
+            # sustained interactive building stays correct instead of
+            # silently rendering schema blocks
+            cap = self.cfg.max_exceptions
+            while cap < n_exc:
+                cap *= 2
+            import dataclasses as _dc
+            self.cfg = _dc.replace(self.cfg, max_exceptions=cap)
+            self.world = voxel._build_tables_jit(
+                self.cfg, self.world.blocks, self.world.schema,
+                self._nonsolid_ids())
         prev_lights = self.lights
         self.lights = host_build(
             lighting.build_light_table,

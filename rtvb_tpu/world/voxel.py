@@ -284,3 +284,17 @@ def set_block(cfg: WorldConfig, world: VoxelWorld, ix, iy, iz, block_id,
 def _set_block_jit(cfg, world, ix, iy, iz, block_id, nonsolid_ids):
     blocks = world.blocks.at[ix, iy, iz].set(jnp.asarray(block_id, jnp.uint8))
     return build_tables(cfg, blocks, world.schema, nonsolid_ids)
+
+
+def set_blocks(cfg: WorldConfig, world: VoxelWorld, xyz, ids,
+               nonsolid_ids: tuple = ()) -> VoxelWorld:
+    """Bulk edit: scatter N blocks then rebuild tables ONCE (the batch
+    analog of set_block, for scripted edits / world loading)."""
+    return _set_blocks_jit(cfg, world, jnp.asarray(xyz, jnp.int32),
+                           jnp.asarray(ids, jnp.uint8), nonsolid_ids)
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def _set_blocks_jit(cfg, world, xyz, ids, nonsolid_ids):
+    blocks = world.blocks.at[xyz[:, 0], xyz[:, 1], xyz[:, 2]].set(ids)
+    return build_tables(cfg, blocks, world.schema, nonsolid_ids)

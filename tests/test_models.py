@@ -170,6 +170,71 @@ def _make_test_glb(path):
         f.write(out)
 
 
+def test_shipped_glb_character():
+    """The engine character comes from the shipped data/models/character.glb
+    (GLTFUtils.cpp + minecraft_character_generator.py role) — not the
+    procedural fallback."""
+    from rtvb_tpu.models.character import load_character_mesh
+    mesh = load_character_mesh()
+    assert mesh.skeleton is not None and mesh.skeleton.n_joints == 7
+    for clip in ("idle", "walk", "run", "place"):
+        assert clip in mesh.clips
+    assert mesh.n_triangles >= 36
+
+
+def test_character_pose_math_is_host_numpy():
+    """Per-frame pose evaluation must stay on the host (reference:
+    AnimationManager on CPU; only joint matrices are uploaded)."""
+    cfg, w = gen.generate_world()
+    ch = Character(cfg_world=cfg)
+    ch.update(w, 1.0 / 30.0, move_input=(1.0, 0.0))
+    assert isinstance(ch.entity.joint_mats, np.ndarray)
+    assert ch.entity.joint_mats.shape == \
+        (ch.entity.mesh.skeleton.n_joints, 4, 4)
+    assert isinstance(ch.entity.prev_joint_mats, np.ndarray)
+
+
+def test_device_entity_pack_matches_legacy():
+    """The jitted device packer (renderer._pack_entity_tris) must reproduce
+    the legacy eager update_vertices → triangles path exactly."""
+    from rtvb_tpu.render.renderer import _pack_entity_tris
+    mesh = build_character_mesh()
+    skel, clip = mesh.skeleton, mesh.clips["walk"]
+    e = Entity(mesh=mesh)
+    e.position = np.array([3.0, 1.0, 2.0], np.float32)
+    e.yaw = 0.7
+    pose = anim.evaluate(clip.host_tracks(), 0.3, clip.duration)
+    mats = skel.skinning_matrices(*pose, model=e.model_matrix_np())
+    assert isinstance(mats, np.ndarray)
+
+    # legacy path: skin with device mats, model applied inside update_vertices
+    e2 = Entity(mesh=mesh)
+    e2.position, e2.yaw = e.position, e.yaw
+    skin = skel.skinning_matrices(*[jnp.asarray(x) for x in pose])
+    e2.update_vertices(skin)
+    v0l, v1l, v2l = (np.asarray(v) for v in e2.triangles())
+
+    statics = [{
+        "pos": jnp.asarray(mesh.positions),
+        "joints": jnp.asarray(mesh.joints),
+        "weights": jnp.asarray(mesh.weights),
+        "i0": jnp.asarray(mesh.indices[:, 0]),
+        "i1": jnp.asarray(mesh.indices[:, 1]),
+        "i2": jnp.asarray(mesh.indices[:, 2]),
+    }]
+    z3 = jnp.zeros((0, 3), jnp.float32)
+    decor = {"packed": jnp.zeros((0, 9), jnp.float32),
+             "normals": z3, "v0": z3, "v1": z3, "v2": z3}
+    m = jnp.asarray(mats)
+    packed, nrm, pv0, pv1, pv2 = _pack_entity_tris(
+        statics, [m], [m], decor, 0)
+    packed = np.asarray(packed)
+    assert np.allclose(packed[:, 0:3], v0l, atol=1e-4)
+    assert np.allclose(packed[:, 0:3] + packed[:, 3:6], v1l, atol=1e-4)
+    assert np.allclose(packed[:, 0:3] + packed[:, 6:9], v2l, atol=1e-4)
+    assert np.allclose(np.asarray(pv0), v0l, atol=1e-4)
+
+
 def test_glb_load(tmp_path):
     p = tmp_path / "t.glb"
     _make_test_glb(str(p))

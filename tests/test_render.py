@@ -59,6 +59,7 @@ def test_nee_matches_bruteforce_sun_sky():
         e2x=z8, e2y=z8, e2z=z8, nx=z8, ny=z8, nz=z8, area=z8,
         rad_r=z8, rad_g=z8, rad_b=z8,
         key=jnp.full(8, 1 << 30, jnp.int32),
+        ent=jnp.zeros(8, bool),
         active=jnp.zeros(8, bool), count=jnp.int32(0),
         prob=tab.prob, alias=tab.alias, pmf=tab.pmf)
 

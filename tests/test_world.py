@@ -86,3 +86,32 @@ def test_block_id_at_out_of_bounds():
     cfg, w = gen.generate_world()
     v = voxel.block_id_at(cfg, w, jnp.array([-1, 200]), jnp.array([0, 0]), jnp.array([0, 0]))
     assert np.all(np.asarray(v) == 0)
+
+
+def test_exception_table_grows_on_overflow():
+    """Pow2 exception-list growth: 500 deviating placements must ALL be
+    renderable from the exception table — no silent schema-block
+    degradation (reference: every voxel always exact via dense grid)."""
+    from rtvb_tpu.core.config import Settings
+    from rtvb_tpu.render.renderer import Engine
+
+    eng = Engine(settings=Settings(), width=96, height=96)
+    base_cap = eng.cfg.max_exceptions
+    xs, zs = np.meshgrid(np.arange(5, 55), np.arange(5, 15))
+    n = xs.size
+    xyz = np.stack([xs.ravel(), np.full(n, 28), zs.ravel()], axis=1)
+    eng.set_blocks(xyz, np.full(n, B.BRICK, np.uint8))
+
+    n_exc = voxel.exception_count(eng.cfg, eng.world)
+    assert n_exc >= n, f"placements not all deviating: {n_exc}"
+    assert eng.cfg.max_exceptions >= n_exc > base_cap
+    keys = set(int(k) for k in np.asarray(eng.world.exc_key)
+               if k < voxel.EXC_EMPTY)
+    assert len(keys) == n_exc   # table holds EVERY exception, none dropped
+    ids = {int(k): int(i) for k, i in
+           zip(np.asarray(eng.world.exc_key), np.asarray(eng.world.exc_id))}
+    cfg = eng.cfg
+    for x, y, z in xyz:
+        key = (int(x) * cfg.z + int(z)) * cfg.y + int(y)
+        assert key in keys
+        assert ids[key] == B.BRICK
