@@ -95,6 +95,12 @@ def main():
     if "noent" in want:
         c, ms = bench_fn(make_pt(base_cfg, use_ent=False), args)
         report("noent", c, ms)
+    if "nolocal" in want:
+        c, ms = bench_fn(make_pt(dc.replace(base_cfg, local_light_candidates=0)), args)
+        report("nolocal", c, ms)
+    if "loc2" in want:
+        c, ms = bench_fn(make_pt(dc.replace(base_cfg, local_light_candidates=2)), args)
+        report("loc2", c, ms)
     if "b2" in want:
         c, ms = bench_fn(make_pt(dc.replace(base_cfg, total_bounce_limit=2)), args)
         report("b2", c, ms)
