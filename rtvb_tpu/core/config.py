@@ -25,6 +25,11 @@ class RenderingSettings:
     total_bounce_limit: int = 3
     diffuse_bounce_limit: int = 1
     local_light_candidates: int = 8     # RIS candidates, closesthit.cu:330-343
+    # local-light candidates streamed at secondary vertices: each candidate
+    # costs ~3.4 ms/bounce at 1080p on v5e (table gathers dominate), and
+    # secondary vertices contribute far less — 2 keeps lantern GI alive at
+    # a quarter of the cost (primary vertices keep the full count + ReSTIR)
+    secondary_light_candidates: int = 2
     max_trace_steps: int = 96           # DDA column-step cap
     target_fps: float = 60.0
     dynamic_resolution: bool = True

@@ -55,6 +55,10 @@ class HitRecord(NamedTuple):
     # (schema word + exception bitmask; 0 when not requested / on miss)
     schema: jnp.ndarray = None
     exc_mask: jnp.ndarray = None
+    # in-kernel material resolve (trace_kernel mat_tables mode): material
+    # index + the 11 material fields at the hit voxel (None if not requested)
+    mi: jnp.ndarray = None
+    mat: tuple = None
 
 
 def _bit_index_lsb(bits):

@@ -148,25 +148,33 @@ def temporal_accumulate(illum, moments_in, motion_u, motion_v, depth, normal,
     v_prev = v_cur + jnp.where(valid_mv, motion_v, 0.0)
 
     # warped history fetch: Pallas windowed-gather kernel on TPU
-    # (TemporalAccumulation.h:228-448 reprojection reads)
+    # (TemporalAccumulation.h:228-448 reprojection reads).  The radiance /
+    # moments / normal / length payload rides as bf16 pairs — 7 kernel
+    # channels instead of 13 for the same 13 planes (HalfPrecision.h role;
+    # the kernel's shuffle cost is linear in channel count).  Depth stays
+    # f32: it gates disocclusion.
+    from ..pack import pack2, octa_encode, octa_decode
     from ..warp_kernel import dispatch_bilinear
+    nu, nv = octa_encode((prev_normal[..., 0], prev_normal[..., 1],
+                          prev_normal[..., 2]))
     prev_pack = jnp.stack([
-        slow_hist[..., 0], slow_hist[..., 1], slow_hist[..., 2],
-        fast_hist[..., 0], fast_hist[..., 1], fast_hist[..., 2],
-        moments_hist[..., 0], moments_hist[..., 1],
+        pack2(slow_hist[..., 0], slow_hist[..., 1]),
+        pack2(slow_hist[..., 2], fast_hist[..., 0]),
+        pack2(fast_hist[..., 1], fast_hist[..., 2]),
+        pack2(moments_hist[..., 0], moments_hist[..., 1]),
+        pack2(nu, nv),
+        pack2(hist_len, hist_len),
         prev_depth,
-        prev_normal[..., 0], prev_normal[..., 1], prev_normal[..., 2],
-        hist_len,
     ])
     sx = u_prev * W - 0.5
     sy = (1.0 - v_prev) * H - 0.5
-    sampled, inb = dispatch_bilinear(prev_pack, sy, sx)
-    s_slow = jnp.moveaxis(sampled[0:3], 0, -1)
-    s_fast = jnp.moveaxis(sampled[3:6], 0, -1)
-    s_mom = jnp.moveaxis(sampled[6:8], 0, -1)
-    s_depth = sampled[8]
-    s_norm = jnp.moveaxis(sampled[9:12], 0, -1)
-    s_len = sampled[12]
+    sampled, inb = dispatch_bilinear(prev_pack, sy, sx, pair_channels=6)
+    s_slow = jnp.stack([sampled[0], sampled[1], sampled[2]], -1)
+    s_fast = jnp.stack([sampled[3], sampled[4], sampled[5]], -1)
+    s_mom = jnp.stack([sampled[6], sampled[7]], -1)
+    s_norm = jnp.stack(octa_decode(sampled[8], sampled[9]), -1)
+    s_len = sampled[10]
+    s_depth = sampled[12]
 
     # disocclusion: relative depth difference + normal agreement.  The
     # threshold is the *relative depth tolerance* directly (no hidden fudge

@@ -58,7 +58,13 @@ def _chunk_gather(scratch_row, lo, hi, n_chunks, acc):
     return acc
 
 
-def _make_kernel(C: int, H: int, W: int, bilinear: bool):
+def _make_kernel(C: int, H: int, W: int, bilinear: bool,
+                 pair_channels: int = 0):
+    """pair_channels: the first N input channels carry two bf16 values
+    bit-packed in each f32 lane (ops/pack.pack2).  The bilinear kernel
+    unpacks the four taps and lerps each half separately, emitting TWO
+    f32 output channels per pair — half the shuffle passes for the same
+    payload (HalfPrecision.h role)."""
     n_chunks = WIN_X // 128
 
     def kernel(sy_ref, sx_ref, hist_ref, out_ref, valid_ref, scratch, sem):
@@ -101,6 +107,7 @@ def _make_kernel(C: int, H: int, W: int, bilinear: bool):
             lo1 = lxp & 127
 
         zero = jnp.zeros(sy.shape, jnp.float32)
+        out_c = 0
         for c in range(C):
             if bilinear:
                 a00 = a01 = a10 = a11 = zero
@@ -115,37 +122,50 @@ def _make_kernel(C: int, H: int, W: int, bilinear: bool):
                         sel1 = lyc == (k - 1)
                         a10 = jnp.where(sel1, g0, a10)
                         a11 = jnp.where(sel1, g1, a11)
-                top = a00 * (1.0 - fx) + a01 * fx
-                bot = a10 * (1.0 - fx) + a11 * fx
-                out_ref[c, :, :] = top * (1.0 - fy) + bot * fy
+                if c < pair_channels:
+                    from .pack import unpack2
+                    taps = [unpack2(t) for t in (a00, a01, a10, a11)]
+                    for half in (0, 1):
+                        t00, t01, t10, t11 = (t[half] for t in taps)
+                        top = t00 * (1.0 - fx) + t01 * fx
+                        bot = t10 * (1.0 - fx) + t11 * fx
+                        out_ref[out_c, :, :] = top * (1.0 - fy) + bot * fy
+                        out_c += 1
+                else:
+                    top = a00 * (1.0 - fx) + a01 * fx
+                    bot = a10 * (1.0 - fx) + a11 * fx
+                    out_ref[out_c, :, :] = top * (1.0 - fy) + bot * fy
+                    out_c += 1
             else:
                 acc = zero
                 for k in range(WIN_Y):
                     srow = scratch[c, k, :]
                     g0 = _chunk_gather(srow, lo0, hi0, n_chunks, zero)
                     acc = jnp.where(lyc == k, g0, acc)
-                out_ref[c, :, :] = acc
+                out_ref[out_c, :, :] = acc
+                out_c += 1
         valid_ref[:, :] = valid.astype(jnp.int32)
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("bilinear",))
-def _warp_call(hist, sy, sx, bilinear: bool):
+@functools.partial(jax.jit, static_argnames=("bilinear", "pair_channels"))
+def _warp_call(hist, sy, sx, bilinear: bool, pair_channels: int = 0):
     C, H, W = hist.shape
+    Co = C + (pair_channels if bilinear else 0)
     assert H % TILE_R == 0 and W % TILE_C == 0, (H, W)
     grid = (H // TILE_R, W // TILE_C)
     coord_spec = pl.BlockSpec((TILE_R, TILE_C), lambda i, j: (i, j),
                               memory_space=pltpu.VMEM)
     out, valid = pl.pallas_call(
-        _make_kernel(C, H, W, bilinear),
+        _make_kernel(C, H, W, bilinear, pair_channels if bilinear else 0),
         grid=grid,
         in_specs=[coord_spec, coord_spec,
                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[pl.BlockSpec((C, TILE_R, TILE_C), lambda i, j: (0, i, j),
+        out_specs=[pl.BlockSpec((Co, TILE_R, TILE_C), lambda i, j: (0, i, j),
                                 memory_space=pltpu.VMEM),
                    coord_spec],
-        out_shape=[jax.ShapeDtypeStruct((C, H, W), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((Co, H, W), jnp.float32),
                    jax.ShapeDtypeStruct((H, W), jnp.int32)],
         scratch_shapes=[pltpu.VMEM((C, WIN_Y, WIN_X), jnp.float32),
                         pltpu.SemaphoreType.DMA],
@@ -183,10 +203,14 @@ def warp_nearest(hist, sy, sx):
     return out[:, :H, :W], valid[:H, :W] & vo
 
 
-def warp_bilinear(hist, sy, sx):
-    """Bilinear variant: blends the 2×2 neighborhood of (sy, sx)."""
+def warp_bilinear(hist, sy, sx, pair_channels: int = 0):
+    """Bilinear variant: blends the 2×2 neighborhood of (sy, sx).
+
+    The first pair_channels channels of hist carry bf16 pairs
+    (ops/pack.pack2); each yields TWO unpacked, separately-lerped f32
+    output channels (so out has C + pair_channels channels)."""
     hist, syp, sxp, H, W = _pad_to_tiles(hist, sy, sx)
-    out, valid = _warp_call(hist, syp, sxp, True)
+    out, valid = _warp_call(hist, syp, sxp, True, pair_channels)
     y0 = jnp.floor(sy).astype(jnp.int32)
     x0 = jnp.floor(sx).astype(jnp.int32)
     vo = (y0 >= 0) & (y0 < H - 1) & (x0 >= 0) & (x0 < W - 1)
@@ -210,7 +234,17 @@ def warp_nearest_ref(hist, sy, sx):
     return out, valid
 
 
-def warp_bilinear_ref(hist, sy, sx):
+def warp_bilinear_ref(hist, sy, sx, pair_channels: int = 0):
+    if pair_channels:
+        from .pack import unpack2
+        parts = []
+        for c in range(hist.shape[0]):
+            if c < pair_channels:
+                a, b = unpack2(hist[c])
+                parts += [a, b]
+            else:
+                parts.append(hist[c])
+        return warp_bilinear_ref(jnp.stack(parts), sy, sx)
     C, H, W = hist.shape
     y0f = jnp.floor(sy)
     x0f = jnp.floor(sx)
@@ -239,7 +273,7 @@ def dispatch_nearest(hist, sy, sx):
     return warp_nearest_ref(hist, sy, sx)
 
 
-def dispatch_bilinear(hist, sy, sx):
+def dispatch_bilinear(hist, sy, sx, pair_channels: int = 0):
     if jax.default_backend() == "tpu":
-        return warp_bilinear(hist, sy, sx)
-    return warp_bilinear_ref(hist, sy, sx)
+        return warp_bilinear(hist, sy, sx, pair_channels)
+    return warp_bilinear_ref(hist, sy, sx, pair_channels)

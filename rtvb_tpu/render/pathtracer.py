@@ -237,6 +237,20 @@ def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
 def shade_reservoir(res: Reservoir, p, n, wo, mat, trace_any, live=None):
     """Final visibility ray + contribution of the RIS winner
     (closesthit.cu:787-845). Candidates carry MIS weights, so W = wsum/p̂."""
+    rgb, origin, sdir, cap = shade_reservoir_deferred(res, p, n, wo, mat, live)
+    srec = trace_any(origin, sdir, cap)
+    visible = ~srec.hit
+    return tuple(c * visible for c in rgb)
+
+
+def shade_reservoir_deferred(res: Reservoir, p, n, wo, mat, live=None):
+    """Pre-visibility contribution + the visibility ray of the RIS winner.
+
+    Returns (rgb, origin, dir, cap): the caller traces the ray later —
+    render_frame batches every bounce's visibility rays into ONE any-hit
+    wave (the per-bounce waves spent more time in fixed per-wave cost than
+    in traversal; visibility results feed only the radiance sum, never the
+    continuation ray, so deferral is exact)."""
     W = jnp.where(res.target_pdf > 1e-9,
                   res.wsum / jnp.maximum(res.target_pdf, 1e-9),
                   0.0)
@@ -250,12 +264,10 @@ def shade_reservoir(res: Reservoir, p, n, wo, mat, trace_any, live=None):
                                       jnp.ones_like(origin[1]),
                                       jnp.zeros_like(origin[2])))
         cap = jnp.where(live2, cap, 0.0)
-    srec = trace_any(origin, sdir, cap)
-    visible = ~srec.hit
     f, _ = B.evaluate(mat, n, wo, res.dir)
     cos_i = jnp.maximum(m.dot(n, res.dir), 0.0)
-    scale = jnp.where(visible, W, 0.0)
-    return tuple(fc * cos_i * lc * scale for fc, lc in zip(f, res.le))
+    rgb = tuple(fc * cos_i * lc * W for fc, lc in zip(f, res.le))
+    return rgb, origin, sdir, cap
 
 
 def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
@@ -323,6 +335,14 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
     sun_cos_max = sky_state.cos_sun_radius
     pdf_sun_cone = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - sun_cos_max), 1e-9)
 
+    # NEE visibility rays are deferred: each bounce appends its winner's
+    # shadow ray + pre-visibility contribution; ONE batched any-hit wave
+    # after the loop resolves them all (3 waves -> 1: visibility feeds only
+    # the radiance sum, never the continuation ray)
+    shadow_rays: list = []
+    shadow_rgb: list = []
+    restir_pending = None
+
     for bounce in range(rs_cfg.total_bounce_limit):
         rs.dim = 8 + bounce * 64
         if bounce > 0:
@@ -375,13 +395,27 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         p = m.add(o, m.scale(d, rec.t))
         wo = m.neg(d)
 
-        bid = resolve_block_id(cfg, world, rec)
         from ..ops.gatherlib import fast_gather as _fgmi
-        mi = _fgmi(mats.block_to_mat, bid)
+        if rec.mi is not None:
+            # the trace kernel resolved block id -> material in VMEM
+            mi = rec.mi
+        else:
+            bid = resolve_block_id(cfg, world, rec)
+            mi = _fgmi(mats.block_to_mat, bid)
         if test_ent:
-            from ..ops.gatherlib import fast_gather as _fg
-            mi = jnp.where(is_ent, _fg(entities.mat_index, tidx), mi)
-        mat, emis, tex_id, uv_scale = material_from_index(mats, mi, min_roughness)
+            mi = jnp.where(is_ent, _fgmi(entities.mat_index, tidx), mi)
+        if rec.mat is not None and not test_ent:
+            # kernel-gathered material fields (no XLA one-hot gathers)
+            (ar_, ag_, ab_, er_, eg_, eb_, ro_, me_, tr_, tx_, uv_) = rec.mat
+            mat = B.Material(albedo_r=ar_, albedo_g=ag_, albedo_b=ab_,
+                             roughness=jnp.maximum(ro_, min_roughness),
+                             metallic=me_, translucency=tr_)
+            emis = (er_, eg_, eb_)
+            tex_id = tx_.astype(jnp.int32)
+            uv_scale = uv_
+        else:
+            mat, emis, tex_id, uv_scale = material_from_index(
+                mats, mi, min_roughness)
 
         # triplanar world-grid UV + procedural texture (ray-cone LOD proxy)
         u, v = textures.triplanar_uv(p[0], p[1], p[2], n[0], n[1], n[2])
@@ -479,8 +513,11 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         alive = alive & ~is_emissive
 
         # ---- NEE via streaming RIS + one visibility ray ----
+        n_cand = rs_cfg.local_light_candidates if bounce == 0 else \
+            min(rs_cfg.local_light_candidates,
+                rs_cfg.secondary_light_candidates)
         res = _nee_ris(rs, lights, sky_state, m.add(p, m.scale(n, SPAWN_EPS)),
-                       n, wo, mat, rs_cfg.local_light_candidates, trace_any,
+                       n, wo, mat, n_cand, trace_any,
                        sun_cos_max,
                        ent_unreachable=(entities is not None
                                         and not rs_cfg.entity_in_bounces))
@@ -501,25 +538,19 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                                           jnp.ones_like(origin[1]),
                                           jnp.zeros_like(origin[2])))
             vcap = jnp.where(live2, jnp.maximum(dist2 - 2.0 * SPAWN_EPS, 0.0), 0.0)
-            srec = trace_any(origin, vdir, vcap)
-            visible = ~srec.hit
             fv, _ = B.evaluate(mat, n, wo, dir2)
             cos2 = jnp.maximum(m.dot(n, dir2), 0.0)
-            nee = tuple(fc * cos2 * lc * jnp.where(visible, W2, 0.0)
-                        for fc, lc in zip(fv, le2))
+            nee = tuple(fc * cos2 * lc * W2 for fc, lc in zip(fv, le2))
             keep = alive
-            new_restir = restir_mod.ReSTIRState(
-                kind=jnp.where(keep, k2, restir_mod.KIND_NONE),
-                slot=s2, face=f2, fa=fa2, fb=fb2,
-                dx=dir2[0], dy=dir2[1], dz=dir2[2],
-                W=jnp.where(keep & visible, W2, 0.0),
-                M=jnp.where(keep, M2, 0.0),
-                depth=g_depth, nx=n[0], ny=n[1], nz=n[2],
-                le_r=le2[0], le_g=le2[1], le_b=le2[2])
+            restir_pending = (k2, s2, f2, fa2, fb2, dir2, le2, M2, W2, keep, n)
+            shadow_rays.append((origin, vdir, vcap))
         else:
-            nee = shade_reservoir(res, p, n, wo, mat, trace_any, live=alive)
-        for i in range(3):
-            L[i] = L[i] + jnp.where(alive, throughput[i] * nee[i], 0.0)
+            nee, origin, vdir, vcap = shade_reservoir_deferred(
+                res, p, n, wo, mat, live=alive)
+            shadow_rays.append((origin, vdir, vcap))
+        # contribution pending visibility: applied after the batched wave
+        shadow_rgb.append(tuple(
+            jnp.where(alive, throughput[i] * nee[i], 0.0) for i in range(3)))
 
         # ---- BSDF bounce ----
         if bounce == rs_cfg.total_bounce_limit - 1:
@@ -565,6 +596,38 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         prev_delta = samp.is_delta
         prev_cos_pdf = samp.pdf
         prev_n = n
+
+    # ---- batched NEE visibility wave (all bounces' shadow rays at once) ----
+    new_restir = None
+    if shadow_rays:
+        nb = len(shadow_rays)
+        if nb == 1:
+            srec = trace_any(*shadow_rays[0])
+            vis_parts = [~srec.hit]
+        else:
+            o_all = tuple(jnp.concatenate([r[0][i] for r in shadow_rays], 0)
+                          for i in range(3))
+            d_all = tuple(jnp.concatenate([r[1][i] for r in shadow_rays], 0)
+                          for i in range(3))
+            cap_all = jnp.concatenate([r[2] for r in shadow_rays], 0)
+            srec = trace_any(o_all, d_all, cap_all)
+            vis_all = ~srec.hit
+            vis_parts = [vis_all[k * H:(k + 1) * H] for k in range(nb)]
+        for rgb_k, vis_k in zip(shadow_rgb, vis_parts):
+            for i in range(3):
+                L[i] = L[i] + jnp.where(vis_k, rgb_k[i], 0.0)
+        if restir_pending is not None:
+            (k2, s2, f2, fa2, fb2, dir2, le2, M2, W2, keep, n0) = \
+                restir_pending
+            visible0 = vis_parts[0]
+            new_restir = restir_mod.ReSTIRState(
+                kind=jnp.where(keep, k2, restir_mod.KIND_NONE),
+                slot=s2, face=f2, fa=fa2, fb=fb2,
+                dx=dir2[0], dy=dir2[1], dz=dir2[2],
+                W=jnp.where(keep & visible0, W2, 0.0),
+                M=jnp.where(keep, M2, 0.0),
+                depth=g_depth, nx=n0[0], ny=n0[1], nz=n0[2],
+                le_r=le2[0], le_g=le2[1], le_b=le2[2])
 
     # NaN scrub (RayGen.cu:175-178)
     L = [m.nan_scrub(x) for x in L]

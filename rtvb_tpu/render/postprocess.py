@@ -35,12 +35,22 @@ def initial_post_state() -> PostState:
 # Auto exposure (ComputeLuminanceHistogramKernel + ComputeAutoExposure)
 # ---------------------------------------------------------------------------
 
+def _box_down4(img):
+    """4×4 average-pool via reduce_window: the reshape-to-(h/4,4,w/4,4)
+    formulation relayouts the whole frame (~0.76 ms per channel at 1080p,
+    measured); reduce_window keeps the native (8,128) tiling."""
+    r = jax.lax.reduce_window(img, 0.0, jax.lax.add,
+                              (4, 4) + (1,) * (img.ndim - 2),
+                              (4, 4) + (1,) * (img.ndim - 2), "VALID")
+    return r * (1.0 / 16.0)
+
+
 def auto_exposure(rgb, state: PostState, cfg: PostProcessingSettings, dt):
     # 4×4 box-downsampled luminance (the reference reads a luminance mip,
     # PostProcessingPipeline.cu) — 16× fewer histogram samples, same stats
     h4 = (rgb.shape[0] // 4) * 4
     w4 = (rgb.shape[1] // 4) * 4
-    small = rgb[:h4, :w4].reshape(h4 // 4, 4, w4 // 4, 4, 3).mean((1, 3))
+    small = _box_down4(rgb[:h4, :w4])
     lum = m.luminance(small[..., 0], small[..., 1], small[..., 2])
     log_lum = jnp.log2(jnp.maximum(lum, 1e-6))
     lo, hi = cfg.exposure_min_log, cfg.exposure_max_log
@@ -82,7 +92,7 @@ def bloom(rgb, cfg: PostProcessingSettings):
     # downsample 4x, blur, upsample (cheap pyramid)
     h, w = rgb.shape[:2]
     h4, w4 = h // 4, w // 4
-    small = bright[: h4 * 4, : w4 * 4].reshape(h4, 4, w4, 4, 3).mean((1, 3))
+    small = _box_down4(bright[: h4 * 4, : w4 * 4])
     small = _box_blur(_box_blur(small, 4, 0), 4, 1)
     small = _box_blur(_box_blur(small, 2, 0), 2, 1)
     up = jnp.repeat(jnp.repeat(small, 4, axis=0), 4, axis=1)

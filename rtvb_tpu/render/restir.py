@@ -152,15 +152,25 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
     mv = jnp.where(inb0, motion_v, 0.0)
 
     # nearest-warped reservoir fetch via the Pallas windowed-gather kernel
-    # (prev-frame reservoir read role); int fields ride as f32 bit patterns —
-    # the gather is pure shuffle, no arithmetic
+    # (prev-frame reservoir read role).  The payload is bit-packed to 8
+    # channels (HalfPrecision.h / fp16 LightInfo role, Light.h:13-23):
+    # ints and bf16 pairs ride as f32 bit patterns through the pure-shuffle
+    # nearest gather, so the kernel cost halves vs the 17-plane layout.
+    # `face` is not stored at all — triangle lights never set it.
     from ..ops.warp_kernel import dispatch_nearest
-    bc = lambda a: lax.bitcast_convert_type(a, jnp.float32)
+    from ..ops.pack import (pack2, unpack2, pack_int, unpack_int,
+                            octa_encode, octa_decode)
+    du, dv = octa_encode((prev.dx, prev.dy, prev.dz))
+    nu, nv = octa_encode((prev.nx, prev.ny, prev.nz))
     pack = jnp.stack([
-        bc(prev.kind), bc(prev.slot), bc(prev.face), prev.fa, prev.fb,
-        prev.dx, prev.dy, prev.dz, prev.W, prev.M, prev.depth,
-        prev.nx, prev.ny, prev.nz,
-        prev.le_r, prev.le_g, prev.le_b,
+        pack_int(prev.kind, prev.slot, 2),
+        pack2(prev.fa, prev.fb),
+        pack2(du, dv),
+        prev.W,
+        pack2(prev.M, prev.le_b),
+        prev.depth,
+        pack2(nu, nv),
+        pack2(prev.le_r, prev.le_g),
     ])
     sx = (u_cur + mu) * W_img - 0.5
     sy = (1.0 - (v_cur + mv)) * H - 0.5
@@ -201,16 +211,16 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
             dx = offs[2 * (t - 1) + 1]
             tap = _shift_dyn(got0, dy, dx, axes=(1, 2))
             tvalid = _shift_dyn(valid0, dy, dx, axes=(0, 1))
-        pk = lax.bitcast_convert_type(tap[0], jnp.int32)
-        pslot = lax.bitcast_convert_type(tap[1], jnp.int32)
-        pface = lax.bitcast_convert_type(tap[2], jnp.int32)
-        pfa, pfb = tap[3], tap[4]
-        pdir = (tap[5], tap[6], tap[7])
-        pW = tap[8]
-        pM = tap[9]
-        pdepth = tap[10]
-        pn = (tap[11], tap[12], tap[13])
-        ple_cache = (tap[14], tap[15], tap[16])
+        pk, pslot = unpack_int(tap[0], 2)
+        pfa, pfb = unpack2(tap[1])
+        pdir = octa_decode(*unpack2(tap[2]))
+        pW = tap[3]
+        pM, ple_b = unpack2(tap[4])
+        pdepth = tap[5]
+        pn = octa_decode(*unpack2(tap[6]))
+        ple_r, ple_g = unpack2(tap[7])
+        pface = jnp.zeros_like(pk)
+        ple_cache = (ple_r, ple_g, ple_b)
 
         # surface similarity per tap (closesthit.cu:636-705); the threshold
         # is the relative depth tolerance directly (no hidden fudge)

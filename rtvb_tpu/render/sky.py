@@ -30,10 +30,14 @@ SKY_RADIANCE_SCALE = 0.035
 SUN_RADIANCE_SCALE = 1.2e5
 
 
-# Env-map sampler resolution: 16×8 equal-area texels = 128 = one lane row.
-# Small on purpose — it shapes the sampling pdf only; radiance at the
-# sampled direction is always evaluated analytically (unbiased).
-ENV_W, ENV_H = 16, 8
+# Env-map sampler resolution: 8×4 equal-area texels.  Small on purpose — it
+# shapes the sampling pdf only (the Perez luminance field is smooth, so 32
+# texels already localize the solar aureole); radiance at the sampled
+# direction is always evaluated analytically (unbiased).  Every texel the
+# table grows costs a one-hot select per pixel per draw in the NEE stream
+# (3 draws + 1 pdf per bounce), so this trades a little sampling variance
+# for ~4x less VPU work than the 16×8 map.
+ENV_W, ENV_H = 8, 4
 
 
 class SkyState(NamedTuple):
@@ -44,10 +48,10 @@ class SkyState(NamedTuple):
     sun_intensity: jnp.ndarray
     cos_sun_radius: jnp.ndarray   # cos of sun disk angular radius
     # equal-area env importance sampler (Sky.cu:383-391 alias-table role):
-    # 128-texel luminance pdf + alias table over the upper hemisphere
-    env_prob: jnp.ndarray   # (128,)
-    env_alias: jnp.ndarray  # (128,) i32
-    env_pmf: jnp.ndarray    # (128,)
+    # ENV_W*ENV_H-texel luminance pdf + alias table over the upper hemisphere
+    env_prob: jnp.ndarray   # (ENV_W*ENV_H,)
+    env_alias: jnp.ndarray  # (ENV_W*ENV_H,) i32
+    env_pmf: jnp.ndarray    # (ENV_W*ENV_H,)
 
 
 def sun_direction(time_of_day, axis_angle_deg):

@@ -61,7 +61,7 @@ def main():
                 impl = trace_kernel.trace if use_pallas else dda.trace
                 kw = {}
                 if use_pallas and not any_hit:
-                    kw = dict(schema2d=world.schema, excmask2d=world.exc_mask)
+                    kw = dict(mat_tables=trace_kernel.build_mat_tables(world, mats))
                 return impl(o, d, world.colmask, world.df_super[0], tp,
                             t_cap=t_cap, any_hit=any_hit,
                             maxh_row=world.maxh_super[0], **kw)
