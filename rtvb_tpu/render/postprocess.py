@@ -101,16 +101,47 @@ def bloom(rgb, cfg: PostProcessingSettings):
 
 
 def lens_flare(rgb, cfg: PostProcessingSettings):
-    """Ghosts mirrored through the image center (LensFlareKernel role)."""
+    """Ghosts + chromatic halo (LensFlareKernel role,
+    PostProcessingPipeline.cu:~223: mirrored ghost chain with per-channel
+    dispersion + halo ring).  TPU shape: every element is a mirror/stride
+    slice or an analytic radial mask — no resampling gathers.  Chromatic
+    dispersion comes from per-ghost RGB tints and per-channel halo radii
+    instead of per-channel UV scaling (same visual read, zero gathers)."""
     lum = m.luminance(rgb[..., 0], rgb[..., 1], rgb[..., 2])
     k = jnp.maximum(lum - cfg.bloom_threshold * 2.0, 0.0)
     bright = rgb * k[..., None]
-    ghost1 = bright[::-1, ::-1]
     h, w = rgb.shape[:2]
-    g2 = bright[::2, ::2]
+
+    tint = lambda r, g, b: jnp.asarray([r, g, b], rgb.dtype)
+    # ghost 1: full-size center mirror, cool (short wavelengths refract more)
+    ghost1 = bright[::-1, ::-1] * tint(0.35, 0.55, 0.9)
+    # ghost 2: half-scale, center-offset, warm
+    g2 = bright[::2, ::2] * tint(0.9, 0.6, 0.3)
     ghost2 = jnp.zeros_like(rgb).at[h // 4: h // 4 + g2.shape[0],
                                     w // 4: w // 4 + g2.shape[1]].set(g2)
-    return rgb + cfg.lens_flare_intensity * (0.6 * ghost1 + 0.4 * ghost2)
+    # ghost 3: quarter-scale mirrored, magenta (iris reflection)
+    g3 = bright[::-4, ::-4] * tint(0.8, 0.3, 0.8)
+    ghost3 = jnp.zeros_like(rgb).at[(3 * h) // 8: (3 * h) // 8 + g3.shape[0],
+                                    (3 * w) // 8: (3 * w) // 8 + g3.shape[1]
+                                    ].set(g3)
+
+    # chromatic halo: total bright energy smeared along a center ring whose
+    # radius shifts per channel (dispersion) — the reference's halo/chromatic
+    # sampling (per-channel uv-scaled gathers) expressed as analytic ring
+    # weights × the scene's aggregate flare energy (a point source must light
+    # the WHOLE ring, so the drive is the frame mean, not a local mirror)
+    yy = ((jnp.arange(h) + 0.5) / h - 0.5)[:, None] * 2.0
+    xx = ((jnp.arange(w) + 0.5) / w - 0.5)[None, :] * 2.0
+    r = jnp.sqrt(yy * yy + xx * xx)
+    energy = jnp.mean(bright, axis=(0, 1))          # (3,) scalar drive
+    halo = jnp.stack([
+        energy[0] * jnp.exp(-jnp.square((r - 0.42) / 0.05)),
+        energy[1] * jnp.exp(-jnp.square((r - 0.46) / 0.05)),
+        energy[2] * jnp.exp(-jnp.square((r - 0.50) / 0.05)),
+    ], axis=-1) * 12.0
+
+    return rgb + cfg.lens_flare_intensity * (
+        0.5 * ghost1 + 0.3 * ghost2 + 0.25 * ghost3 + 0.8 * halo)
 
 
 def vignette(rgb, cfg: PostProcessingSettings):
