@@ -64,16 +64,12 @@ def measure_flythrough(eng, frames: int) -> float:
     """Moving-camera frame time: yaw sweep + forward glide, so reprojection
     and disocclusion costs are exercised (mainOffline.cpp:273-408 scripted
     camera role). Same compiled fn -- no extra compile."""
-    import math
-    base = eng.camera
-    pos0 = (float(base.pos_x), float(base.pos_y), float(base.pos_z))
-    yaw0 = float(base.yaw)
+    from rtvb_tpu.utils.flypath import apply_flythrough
+    pos0 = yaw0 = None
 
     def move(i):
-        t = i / max(frames - 1, 1)
-        eng.set_camera(pos=(pos0[0] + 3.0 * t, pos0[1],
-                            pos0[2] + 1.5 * math.sin(2.0 * t)),
-                       yaw=yaw0 + 0.5 * t)
+        nonlocal pos0, yaw0
+        pos0, yaw0 = apply_flythrough(eng, i, frames, pos0, yaw0)
 
     move(0)
     jax.block_until_ready(eng.render_realtime_device())

@@ -31,20 +31,21 @@ class MaterialDef:
     translucency: float = 0.0
     emissive: tuple = (0.0, 0.0, 0.0)
     texture: str | None = None     # procedural texture name
+    image: str | None = None       # authored image texture (data/textures/<name>.png)
     uv_scale: float = 1.0
 
 
 _BUILTIN_MATERIALS = [
     MaterialDef("default", (0.75, 0.75, 0.75), 0.9),
-    MaterialDef("sand", (0.82, 0.74, 0.52), 0.95, texture="noise_fine"),
-    MaterialDef("soil", (0.43, 0.30, 0.18), 0.95, texture="noise_coarse"),
-    MaterialDef("cliff", (0.45, 0.44, 0.46), 0.85, texture="noise_coarse"),
-    MaterialDef("rocks", (0.52, 0.50, 0.48), 0.9, texture="noise_mid"),
-    MaterialDef("grass", (0.30, 0.52, 0.18), 0.9, texture="noise_fine"),
-    MaterialDef("trunk", (0.36, 0.25, 0.13), 0.9, texture="stripes"),
-    MaterialDef("leaves", (0.20, 0.45, 0.12), 0.9, translucency=0.4, texture="noise_fine"),
-    MaterialDef("plank", (0.62, 0.46, 0.26), 0.8, texture="stripes"),
-    MaterialDef("brick", (0.58, 0.22, 0.16), 0.85, texture="bricks"),
+    MaterialDef("sand", (0.82, 0.74, 0.52), 0.95, texture="noise_fine", image="sand"),
+    MaterialDef("soil", (0.43, 0.30, 0.18), 0.95, texture="noise_coarse", image="soil"),
+    MaterialDef("cliff", (0.45, 0.44, 0.46), 0.85, texture="noise_coarse", image="stone"),
+    MaterialDef("rocks", (0.52, 0.50, 0.48), 0.9, texture="noise_mid", image="stone"),
+    MaterialDef("grass", (0.30, 0.52, 0.18), 0.9, texture="noise_fine", image="grass"),
+    MaterialDef("trunk", (0.36, 0.25, 0.13), 0.9, texture="stripes", image="bark"),
+    MaterialDef("leaves", (0.20, 0.45, 0.12), 0.9, translucency=0.4, texture="noise_fine", image="leaves"),
+    MaterialDef("plank", (0.62, 0.46, 0.26), 0.8, texture="stripes", image="planks"),
+    MaterialDef("brick", (0.58, 0.22, 0.16), 0.85, texture="bricks", image="brick"),
     MaterialDef("glass", (0.95, 0.95, 0.98), 0.02, translucency=0.9),
     MaterialDef("water", (0.12, 0.25, 0.4), 0.05, translucency=0.6),
     MaterialDef("lantern_light", (1.0, 0.9, 0.7), 0.6, emissive=(14.0, 10.5, 6.0)),
@@ -65,6 +66,7 @@ class MaterialTable(NamedTuple):
     translucency: jnp.ndarray
     emissive: jnp.ndarray      # (N, 3)
     texture_id: jnp.ndarray    # (N,) i32, -1 = none
+    image_id: jnp.ndarray      # (N,) i32 authored-texture slot, -1 = none
     uv_scale: jnp.ndarray
     block_to_mat: jnp.ndarray  # (B,) i32: block id → material index
 
@@ -90,6 +92,7 @@ class MaterialRegistry:
                 translucency=float(e.get("translucency", 0.0)),
                 emissive=tuple(e.get("emissive", (0.0, 0.0, 0.0))),
                 texture=e.get("texture"),
+                image=e.get("image"),
                 uv_scale=float(e.get("uv_scale", 1.0)),
             ))
         return cls(mats)
@@ -99,7 +102,7 @@ class MaterialRegistry:
             {"name": m.name, "albedo": list(m.albedo), "roughness": m.roughness,
              "metallic": m.metallic, "translucency": m.translucency,
              "emissive": list(m.emissive), "texture": m.texture,
-             "uv_scale": m.uv_scale}
+             "image": m.image, "uv_scale": m.uv_scale}
             for m in self.materials if m.name != "default"
         ]}
         with open(path, "w") as f:
@@ -116,8 +119,14 @@ class MaterialRegistry:
         self._by_name[mat.name] = len(self.materials) - 1
         return len(self.materials) - 1
 
-    def build_table(self, blocks: BlockRegistry, texture_names: dict[str, int] | None = None) -> MaterialTable:
+    def build_table(self, blocks: BlockRegistry,
+                    texture_names: dict[str, int] | None = None,
+                    image_names: dict[str, int] | None = None) -> MaterialTable:
+        """image_names maps authored-texture names (image_textures atlas
+        slots) — materials with `image` set sample the atlas in addition to
+        (procedural) `texture` (TextureManager.cu:222-240 role)."""
         texture_names = texture_names or {}
+        image_names = image_names or {}
         n = len(self.materials)
         alb = np.zeros((n, 3), np.float32)
         rough = np.zeros(n, np.float32)
@@ -125,6 +134,7 @@ class MaterialRegistry:
         trans = np.zeros(n, np.float32)
         emis = np.zeros((n, 3), np.float32)
         tex = np.full(n, -1, np.int32)
+        img = np.full(n, -1, np.int32)
         uvs = np.ones(n, np.float32)
         for i, mdef in enumerate(self.materials):
             alb[i] = mdef.albedo
@@ -135,11 +145,14 @@ class MaterialRegistry:
             uvs[i] = mdef.uv_scale
             if mdef.texture is not None and mdef.texture in texture_names:
                 tex[i] = texture_names[mdef.texture]
+            if mdef.image is not None and mdef.image in image_names:
+                img[i] = image_names[mdef.image]
         b2m = np.array(
             [self.index_of(b.material) for b in blocks.blocks], np.int32)
         return MaterialTable(
             albedo=jnp.asarray(alb), roughness=jnp.asarray(rough),
             metallic=jnp.asarray(metal), translucency=jnp.asarray(trans),
             emissive=jnp.asarray(emis), texture_id=jnp.asarray(tex),
+            image_id=jnp.asarray(img),
             uv_scale=jnp.asarray(uvs), block_to_mat=jnp.asarray(b2m),
         )

@@ -41,6 +41,12 @@ class RenderingSettings:
     restir_m_cap: int = 20              # closesthit.cu M-cap 20
     restir_temporal_samples: int = 3    # temporal taps (closesthit.cu:636)
     normal_mapping: bool = True         # procedural normal perturbation
+    # authored image textures (data/textures/*.png via assets/image_textures,
+    # TextureManager.cu role).  Off by default: the MXU trilinear sampler
+    # costs ~2-4 ms/frame at 1080p where the procedural stack is ~free —
+    # the procedural bet stays the shipping default, this proves the
+    # ingestion path and quantifies the cost (docs/PROFILE.md).
+    authored_textures: bool = False
     entity_shadows: bool = True         # entities block NEE visibility rays
     entity_in_bounces: bool = False     # entities visible in indirect bounces
 

@@ -73,7 +73,22 @@ def pack_triangles(v0, v1, v2):
 
 
 def intersect_packed(o, d, tri_packed, t_cap=None) -> TriHit:
-    """o, d: SoA rays of shape S; tri_packed: (T, 9)."""
+    """o, d: SoA rays of shape S; tri_packed: (T, 9).
+
+    On TPU this dispatches to the Pallas kernel (ops/tri_kernel.py):
+    SMEM-resident triangles + per-tile entity-AABB cull — the (..., 16)
+    sub-lane blocks below cost ~2 ms/wave for 16 tris and ~13 ms at
+    character scale, the kernel ~0.4 ms / ~1 ms (clustered entity).
+    This XLA path is the reference twin (CPU tests, exact same hits)."""
+    from . import tri_kernel
+    if (jax.default_backend() == "tpu"
+            and tri_packed.shape[0] <= tri_kernel.MAX_TRIS):
+        return tri_kernel.intersect_packed_tpu(o, d, tri_packed, t_cap)
+    return intersect_packed_xla(o, d, tri_packed, t_cap)
+
+
+def intersect_packed_xla(o, d, tri_packed, t_cap=None) -> TriHit:
+    """The XLA blocked-sweep twin (CPU path / kernel parity reference)."""
     ox, oy, oz = (jnp.asarray(a, jnp.float32) for a in o)
     dx, dy, dz = (jnp.asarray(a, jnp.float32) for a in d)
     shape = jnp.broadcast_shapes(ox.shape, dx.shape)

@@ -39,7 +39,7 @@ def initial_denoiser_state(h: int, w: int) -> DenoiserState:
         fast=jnp.zeros((h, w, 3)),
         moments=jnp.zeros((h, w, 2)),
         hist_len=jnp.zeros((h, w)),
-        prev_depth=jnp.full((h, w), BIG),
+        prev_depth=jnp.full((h, w), BIG, jnp.float32),
         prev_normal=jnp.zeros((h, w, 3)),
         bootstrapped=jnp.array(False),
     )

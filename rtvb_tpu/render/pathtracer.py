@@ -217,7 +217,7 @@ def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
     wi_sun = (jnp.broadcast_to(wi_sun[0], shape), jnp.broadcast_to(wi_sun[1], shape),
               jnp.broadcast_to(wi_sun[2], shape))
     pdf_sun = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - sun_cos_max), 1e-9)
-    le_sun = sky_mod.sun_radiance(wi_sun, sky_state)
+    le_sun = sky_mod.sun_radiance_cone(u1, sky_state)
     res = stream(res, wi_sun, jnp.full(shape, BIG), le_sun,
                  jnp.full(shape, pdf_sun), u_take, restir_mod.KIND_SUN)
 
@@ -276,7 +276,8 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                  rs_cfg: RenderingSettings, trace_fn,
                  y0=0, rows: int | None = None,
                  prev_restir=None, light_remap=None,
-                 entities: EntityBuffers | None = None):
+                 entities: EntityBuffers | None = None,
+                 atlas=None):
     """One 1-spp path-traced frame producing denoiser-ready G-buffers.
 
     trace_fn(o, d, t_cap, any_hit) -> HitRecord, closed over world tables
@@ -417,13 +418,38 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
             mat, emis, tex_id, uv_scale = material_from_index(
                 mats, mi, min_roughness)
 
-        # triplanar world-grid UV + procedural texture (ray-cone LOD proxy)
+        # triplanar world-grid UV + procedural texture (ray-cone LOD proxy).
+        # Primary vertices only: at secondary vertices the accumulated cone
+        # width has already rolled the analytic pattern contrast to ~zero
+        # (sample_scale's 1/(1+2·lod) term), so the 5-pattern noise stack
+        # (~400 VPU ops/pixel) would compute a multiplier ≈ 1 — the same
+        # roll-off a mip chain would give the reference at depth
+        # (closesthit.cu:195-200).
         u, v = textures.triplanar_uv(p[0], p[1], p[2], n[0], n[1], n[2])
         lod = rec.t * cam.pixel_cone_spread(height) * 8.0
-        tex = textures.sample_scale(tex_id, u * uv_scale, v * uv_scale, lod)
-        mat = mat._replace(albedo_r=mat.albedo_r * tex,
-                           albedo_g=mat.albedo_g * tex,
-                           albedo_b=mat.albedo_b * tex)
+        if bounce == 0:
+            tex = textures.sample_scale(tex_id, u * uv_scale, v * uv_scale, lod)
+            mat = mat._replace(albedo_r=mat.albedo_r * tex,
+                               albedo_g=mat.albedo_g * tex,
+                               albedo_b=mat.albedo_b * tex)
+
+        # authored image textures (TextureManager.cu:222-240 role): trilinear
+        # MXU atlas sample modulating albedo, primary hits only (secondary
+        # vertices keep the procedural detail — invisible at 1 spp, and the
+        # matmul sampler is the one texture cost worth bounding)
+        if atlas is not None and bounce == 0:
+            img_id = _fgmi(mats.image_id, mi)
+            from ..assets import image_textures
+            img_rgb = image_textures.sample_atlas(
+                atlas, img_id, u * uv_scale, v * uv_scale, lod)
+            # the image IS the albedo (the reference's textured materials
+            # ignore the flat tint, TextureManager.cu + closesthit.cu:195);
+            # untextured materials keep tint × procedural detail
+            use_img = img_id >= 0
+            mat = mat._replace(
+                albedo_r=jnp.where(use_img, img_rgb[0], mat.albedo_r),
+                albedo_g=jnp.where(use_img, img_rgb[1], mat.albedo_g),
+                albedo_b=jnp.where(use_img, img_rgb[2], mat.albedo_b))
 
         # procedural normal mapping at the primary hit (closesthit.cu:241-254
         # role): bend the face normal by the texture height gradient in the

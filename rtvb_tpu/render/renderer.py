@@ -30,6 +30,15 @@ from . import sky as sky_mod
 from .denoiser import DenoiserState, initial_denoiser_state, denoise
 
 
+def _commit(tree):
+    """device_put WITH an explicit device: initial frame states must carry
+    the same committed SingleDeviceSharding as the states a frame returns,
+    or jit compiles the whole frame function twice — once for the
+    UnspecifiedValue frame-0 signature, again (~390 s at 1080p) for the
+    committed frame-1 one."""
+    return jax.device_put(tree, jax.devices()[0])
+
+
 def _trace_params(cfg: voxel.WorldConfig, max_steps: int) -> dda.TraceParams:
     return dda.TraceParams(
         x=cfg.x, y=cfg.y, z=cfg.z,
@@ -110,7 +119,22 @@ class Engine:
             if _os.path.exists(blocks_yaml) else BlockRegistry.builtin()
         self.material_registry = MaterialRegistry.from_yaml(mats_yaml) \
             if _os.path.exists(mats_yaml) else MaterialRegistry()
-        self.materials = self.material_registry.build_table(self.block_registry, TEXTURE_IDS)
+        # authored image textures (TextureManager.cu role): load the PNG
+        # atlas only when the renderer opts in — procedural is the default
+        self.texture_atlas = None
+        self.texture_atlas_names: tuple = ()
+        if self.settings.rendering.authored_textures:
+            from ..assets import image_textures
+            tex_dir = _os.path.join(_os.path.dirname(__file__), "..", "..",
+                                    "data", "textures")
+            wanted = sorted({m.image for m in self.material_registry.materials
+                             if m.image is not None})
+            self.texture_atlas, self.texture_atlas_names = \
+                image_textures.load_atlas(tex_dir, wanted)
+        image_names = ({n: i for i, n in enumerate(self.texture_atlas_names)}
+                       if self.texture_atlas is not None else None)
+        self.materials = self.material_registry.build_table(
+            self.block_registry, TEXTURE_IDS, image_names)
 
         # world
         self.cfg, self.world = gen.generate_world(
@@ -133,7 +157,7 @@ class Engine:
         self.history_camera = self.camera
 
         self.frame_index = 0
-        self.post_state = postprocess.initial_post_state()
+        self.post_state = _commit(postprocess.initial_post_state())
         self.denoiser_state: DenoiserState | None = None
         self.restir_state = None
         self._light_remap = jnp.arange(self.lights.key.shape[0], dtype=jnp.int32)
@@ -383,7 +407,7 @@ class Engine:
                 from ..ops import trace_kernel
 
             def run(world, mats, lights, sky_state, cam, hist_cam, frame_idx,
-                    prev_restir, light_remap, ent):
+                    prev_restir, light_remap, ent, atlas=None):
                 def trace_fn(o, d, t_cap=None, any_hit=False):
                     impl = trace_kernel.trace if use_pallas else dda.trace
                     kw = {}
@@ -396,7 +420,7 @@ class Engine:
                     cfg, world, mats, lights, sky_state, cam, hist_cam,
                     frame_idx, W, H, rs_cfg, trace_fn,
                     prev_restir=prev_restir if use_restir else None,
-                    light_remap=light_remap, entities=ent)
+                    light_remap=light_remap, entities=ent, atlas=atlas)
 
             self._compiled[key] = jax.jit(run)
         return self._compiled[key]
@@ -421,12 +445,13 @@ class Engine:
     def path_trace(self) -> pathtracer.GBuffers:
         from . import restir as restir_mod
         if self.settings.rendering.use_restir and self.restir_state is None:
-            self.restir_state = restir_mod.initial_state(self.height, self.width)
+            self.restir_state = _commit(
+                restir_mod.initial_state(self.height, self.width))
         g, new_state = self._pt_fn()(
             self.world, self.materials, self.lights,
             self.sky_state, self.camera, self.history_camera,
             self.frame_index, self.restir_state, self._light_remap,
-            self.entity_buffers())
+            self.entity_buffers(), self.texture_atlas)
         if new_state is not None:
             self.restir_state = new_state
         self._light_remap = jnp.arange(self.lights.key.shape[0], dtype=jnp.int32)
@@ -473,7 +498,8 @@ class Engine:
             from .denoiser import _denoise_jit
 
             def run(world, mats, lights, sky_state, cam, hist_cam, frame_idx,
-                    prev_restir, light_remap, dstate, post_state, dt, ent):
+                    prev_restir, light_remap, dstate, post_state, dt, ent,
+                    atlas=None):
                 def trace_fn(o, d, t_cap=None, any_hit=False):
                     impl = trace_kernel.trace if use_pallas else dda.trace
                     kw = {}
@@ -486,7 +512,7 @@ class Engine:
                     cfg, world, mats, lights, sky_state, cam, hist_cam,
                     frame_idx, W, H, rs_cfg, trace_fn,
                     prev_restir=prev_restir if use_restir else None,
-                    light_remap=light_remap, entities=ent)
+                    light_remap=light_remap, entities=ent, atlas=atlas)
                 rgb, new_dstate = _denoise_jit(g, dstate, dn_cfg)
                 out, new_pstate = postprocess.run(rgb, post_state, pp, tm, dt,
                                                   out_h, out_w)
@@ -502,15 +528,17 @@ class Engine:
         """Interactive path: 1 spp + denoiser + post (Backend.cpp frame loop)."""
         from . import restir as restir_mod
         if self.settings.rendering.use_restir and self.restir_state is None:
-            self.restir_state = restir_mod.initial_state(self.height, self.width)
+            self.restir_state = _commit(
+                restir_mod.initial_state(self.height, self.width))
         if self.denoiser_state is None:
-            self.denoiser_state = initial_denoiser_state(self.height, self.width)
+            self.denoiser_state = _commit(
+                initial_denoiser_state(self.height, self.width))
         out_u8, new_restir, self.denoiser_state, self.post_state = self._frame_fn()(
             self.world, self.materials, self.lights, self.sky_state,
             self.camera, self.history_camera, self.frame_index,
             self.restir_state, self._light_remap,
             self.denoiser_state, self.post_state, jnp.float32(dt),
-            self.entity_buffers())
+            self.entity_buffers(), self.texture_atlas)
         if new_restir is not None:
             self.restir_state = new_restir
         self._light_remap = jnp.arange(self.lights.key.shape[0], dtype=jnp.int32)
@@ -525,15 +553,17 @@ class Engine:
         this; presenters fetch when they actually need pixels."""
         from . import restir as restir_mod
         if self.settings.rendering.use_restir and self.restir_state is None:
-            self.restir_state = restir_mod.initial_state(self.height, self.width)
+            self.restir_state = _commit(
+                restir_mod.initial_state(self.height, self.width))
         if self.denoiser_state is None:
-            self.denoiser_state = initial_denoiser_state(self.height, self.width)
+            self.denoiser_state = _commit(
+                initial_denoiser_state(self.height, self.width))
         out_u8, new_restir, self.denoiser_state, self.post_state = self._frame_fn()(
             self.world, self.materials, self.lights, self.sky_state,
             self.camera, self.history_camera, self.frame_index,
             self.restir_state, self._light_remap,
             self.denoiser_state, self.post_state, jnp.float32(dt),
-            self.entity_buffers())
+            self.entity_buffers(), self.texture_atlas)
         if new_restir is not None:
             self.restir_state = new_restir
         self._light_remap = jnp.arange(self.lights.key.shape[0], dtype=jnp.int32)

@@ -75,7 +75,7 @@ def initial_state(h: int, w: int) -> ReSTIRState:
     zi = jnp.zeros((h, w), jnp.int32)
     return ReSTIRState(kind=zi, slot=zi, face=zi, fa=z, fb=z,
                        dx=z, dy=z, dz=z, W=z, M=z,
-                       depth=jnp.full((h, w), BIG), nx=z, ny=z, nz=z,
+                       depth=jnp.full((h, w), BIG, jnp.float32), nx=z, ny=z, nz=z,
                        le_r=z, le_g=z, le_b=z)
 
 

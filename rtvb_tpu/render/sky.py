@@ -186,6 +186,23 @@ def sun_radiance(d, sky: SkyState):
     return (s * warm_r, s * warm_g, s * warm_b)
 
 
+def sun_radiance_cone(u1, sky: SkyState):
+    """Sun radiance at a direction drawn by uniform_sample_cone(u1, u2,
+    cos_sun_radius) — algebraic shortcut for the NEE sun candidate: the
+    cone sample's cosθ is 1 - u1·(1-cos_max), so the limb-darkening rim
+    parameter of sun_radiance IS u1.  Per-pixel cost collapses to one
+    sqrt (vs dot+clip+divide+2·sqrt), everything else is scalar."""
+    mu = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1 * u1))
+    limb = 0.4 + 0.6 * mu
+    elev = jnp.clip(sky.sun_dir[1], 0.0, 1.0)
+    warm_r = 1.0
+    warm_g = 0.75 + 0.23 * jnp.sqrt(elev)
+    warm_b = 0.52 + 0.44 * jnp.sqrt(elev)
+    vis = jnp.clip((sky.sun_dir[1] + 0.05) * 12.0, 0.0, 1.0)
+    base = SUN_RADIANCE_SCALE * sky.sun_intensity * vis * limb
+    return (base * warm_r, base * warm_g, base * warm_b)
+
+
 def sky_plus_sun(d, sky: SkyState):
     a = sky_radiance(d, sky)
     b = sun_radiance(d, sky)

@@ -12,7 +12,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# RUN_TPU=1 keeps the real accelerator visible so the Pallas kernel parity
+# tests (test_warp / test_atrous_kernel / test_dda kernel twin / tri kernel)
+# run on hardware — the bench environment executes this mode and commits the
+# outcome to data/perf/ (VERDICT r2 item 10).  Default: CPU, 8 virtual
+# devices (the driver's multi-chip dry-run environment).
+if not os.environ.get("RUN_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 
 # persistent compile cache — jit compiles are slow in this environment
 jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))

@@ -56,6 +56,37 @@ def test_table_gather_multi():
     assert np.array_equal(np.asarray(b), np.asarray(jnp.take(t2.reshape(-1), idx)))
 
 
+def test_fast_gather_onehot_paths_match_take(monkeypatch):
+    """Force the TPU one-hot/matmul code paths on CPU and check exactness:
+    lane padding (n<128), the >=3-field MXU matmul route (ints must
+    round-trip), and keyed_lookup's padded key axis."""
+    monkeypatch.setattr(g, "_use_onehot", lambda: True)
+    rng = np.random.default_rng(3)
+    for n in (5, 25, 128, 200):
+        tab_f = jnp.asarray(rng.normal(size=n).astype(np.float32))
+        tab_i = jnp.asarray(rng.integers(0, 2**23, n, dtype=np.int32))
+        idx = jnp.asarray(rng.integers(0, n, (7, 13), dtype=np.int32))
+        assert np.allclose(np.asarray(g.fast_gather(tab_f, idx)),
+                           np.asarray(jnp.take(tab_f, idx)))
+        assert np.array_equal(np.asarray(g.fast_gather(tab_i, idx)),
+                              np.asarray(jnp.take(tab_i, idx)))
+        # 2-field (select-sum) and 4-field (matmul) multi routes
+        got2 = g.fast_gather_multi((tab_f, tab_i), idx)
+        got4 = g.fast_gather_multi((tab_f, tab_i, tab_f * 2.0, tab_i + 7), idx)
+        assert np.allclose(np.asarray(got2[0]), np.asarray(jnp.take(tab_f, idx)))
+        assert np.array_equal(np.asarray(got2[1]), np.asarray(jnp.take(tab_i, idx)))
+        assert np.allclose(np.asarray(got4[2]), np.asarray(jnp.take(tab_f * 2.0, idx)))
+        assert np.array_equal(np.asarray(got4[3]), np.asarray(jnp.take(tab_i + 7, idx)))
+    # keyed_lookup with a non-multiple-of-128 key table
+    keys = jnp.asarray(np.sort(rng.choice(10**6, 60, replace=False)).astype(np.int32))
+    vals = jnp.asarray(rng.integers(0, 1000, 60, dtype=np.int32))
+    q = jnp.concatenate([keys[12:20], jnp.asarray([999999, 3], np.int32)])
+    got, found = g.keyed_lookup(keys, vals, q)
+    expect_found = np.isin(np.asarray(q), np.asarray(keys))
+    assert np.array_equal(np.asarray(found), expect_found)
+    assert np.array_equal(np.asarray(got)[:8], np.asarray(vals[12:20]))
+
+
 def test_settings_yaml_roundtrip(tmp_path):
     s = Settings().replace(rendering={"render_width": 1280, "render_height": 720})
     p = tmp_path / "settings.yaml"

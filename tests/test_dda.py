@@ -185,3 +185,36 @@ def test_shadow_t_cap(world):
     t_hit = float(rec.t[0])
     rec2 = run_ours(cfg, w, o, d, t_cap=np.array([t_hit - 1.0], np.float32))
     assert not bool(rec2.hit[0])
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Pallas kernel needs TPU")
+def test_tri_kernel_matches_xla_twin():
+    """ops/tri_kernel (SMEM triangles + AABB tile cull) must produce the
+    exact hits of the XLA blocked intersector on a mixed scene."""
+    import numpy as np
+    from rtvb_tpu.ops import triangles as tri_ops
+    from rtvb_tpu.ops import tri_kernel
+    rng = np.random.default_rng(4)
+    H, W = 240, 256
+    one = jnp.ones((H, W))
+    o = (one * 32.0, one * 40.0, one * 32.0)
+    yy, xx = jnp.meshgrid(jnp.linspace(-0.5, 0.5, H),
+                          jnp.linspace(-0.7, 0.7, W), indexing="ij")
+    dn = jnp.sqrt(xx * xx + yy * yy + 1.0)
+    d = (xx / dn, -jnp.abs(yy / dn) - 0.05, 1.0 / dn)
+    T = 37   # odd count: exercises SMEM padding
+    v0 = rng.uniform(24, 40, (T, 3)).astype(np.float32)
+    v1 = v0 + rng.uniform(-2, 2, (T, 3)).astype(np.float32)
+    v2 = v0 + rng.uniform(-2, 2, (T, 3)).astype(np.float32)
+    packed = tri_ops.pack_triangles(jnp.asarray(v0), jnp.asarray(v1),
+                                    jnp.asarray(v2))
+    # zero-row padding rows must never hit
+    packed = jnp.concatenate([packed, jnp.zeros((11, 9), jnp.float32)])
+    # bypass the dispatch to compare both implementations directly
+    ref = tri_ops.intersect_packed_xla(o, d, packed)
+    got = tri_kernel.intersect_packed_tpu(o, d, packed)
+    assert np.array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+    hit = np.asarray(ref.hit)
+    np.testing.assert_allclose(np.asarray(got.t)[hit],
+                               np.asarray(ref.t)[hit], rtol=1e-5)

@@ -50,3 +50,27 @@ def test_canonical_512_64frames(tmp_path):
                        "--out-dir", str(tmp_path / "c512"),
                        "--canonical", golden_path, "--test-canonical"])
     assert rc == 0
+
+
+def test_flythrough_midflight_golden(tmp_path):
+    """Moving-camera golden: 24 realtime frames along the shared flythrough
+    path (utils/flypath — same path bench.py times), gating frame 16.
+    A static camera flatters reprojection/ReSTIR; this locks the dynamic
+    behavior (mainOffline.cpp:273-408 scripted-camera goldens role)."""
+    import numpy as np
+    from rtvb_tpu.core.config import Settings
+    from rtvb_tpu.render.renderer import Engine
+    from rtvb_tpu.utils.flypath import apply_flythrough
+
+    golden_path = os.path.join(GOLDEN_DIR, "flythrough_f16.png")
+    if not os.path.exists(golden_path):
+        pytest.skip("no flythrough golden")
+    eng = Engine(settings=Settings(), width=96, height=96)
+    pos0 = yaw0 = None
+    out = None
+    for i in range(17):
+        pos0, yaw0 = apply_flythrough(eng, i, 24, pos0, yaw0)
+        out = eng.render_realtime()
+    golden = image.read_png(golden_path)
+    res = image_diff.compare(out, golden)
+    assert res.verdict in ("identical", "veryClose", "close"), str(res)
