@@ -191,7 +191,7 @@ def main() -> int:
         save_sidecar(rungs[settled_idx])
 
     extras = {}
-    if os.environ.get("BENCH_FLYTHROUGH") and \
+    if os.environ.get("BENCH_FLYTHROUGH", "1") != "0" and \
             _elapsed() + 60.0 < deadline:
         extras["flythrough_ms"] = round(
             measure_flythrough(eng, frames), 3)

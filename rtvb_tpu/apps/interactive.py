@@ -128,7 +128,7 @@ class StdinInputSource:
       r        toggle run    空 (space)  jump
       x        left click (dig)     b    right click (place)
       1-9      select block id      c    toggle camera mode
-      F5/F9    save/load world      quit exit
+      F3       toggle dev panel     F5/F9 save/load world    quit exit
     """
 
     def __init__(self, stream=None):
@@ -187,6 +187,8 @@ class StdinInputSource:
                     inp.right_click = True
                 elif tok == "c":
                     inp.toggle_camera_mode = True
+                elif tok == "F3":
+                    inp.toggle_dev_panel = True
                 elif tok == "F5":
                     inp.save_world = True
                 elif tok == "F9":
@@ -276,6 +278,13 @@ class InteractiveApp:
             self.settings.rendering.min_render_scale,
             start_scale=eng.render_scale) \
             if self.settings.rendering.dynamic_resolution else None
+        # graphical UI overlay (ui/GameUIManager + DeveloperGUIOverlay
+        # roles): menus raster on state change, the dev panel twice a
+        # second while toggled; eng composites the RGBA buffer on device
+        from .. import ui as ui_gfx
+        canvas = ui_gfx.OverlayCanvas(eng.out_height, eng.out_width)
+        dev_panel = False
+        ui_drawn_state = None
         frame = 0
         while self.max_frames is None or frame < self.max_frames:
             dt = timer.tick()
@@ -313,6 +322,27 @@ class InteractiveApp:
             if dynres is not None:
                 eng.set_render_scale(dynres.update(render_ms))
             self.presenter.present(out, frame)
+            if inp.toggle_dev_panel:
+                dev_panel = not dev_panel
+                ui_drawn_state = None
+            state_name = STATE_NAMES[ui.state]
+            ui_key = (state_name, dev_panel,
+                      frame // 15 if dev_panel else 0)
+            if ui_key != ui_drawn_state:
+                if state_name != "Gameplay":
+                    ui_gfx.render_menu(canvas, state_name,
+                                       self.store.list_worlds())
+                elif dev_panel:
+                    ui_gfx.render_dev_panel(canvas, self.settings, {
+                        "fps": timer.fps, "frame_ms": render_ms,
+                        "internal": (eng.width, eng.height),
+                        "output": (eng.out_width, eng.out_height),
+                        "cam": tuple(map(float, pose.pos)),
+                        "yaw": float(pose.yaw), "pitch": float(pose.pitch)})
+                else:
+                    canvas.clear()
+                eng.set_ui_overlay(canvas.buf)
+                ui_drawn_state = ui_key
             if frame % 30 == 0:
                 print(dev_overlay_text(eng, timer, pose, eng.width))
             frame += 1

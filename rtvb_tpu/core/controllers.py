@@ -31,6 +31,7 @@ class InputState:
     right_click: bool = False
     selected_block: int = 1
     toggle_camera_mode: bool = False
+    toggle_dev_panel: bool = False   # DeveloperGUIOverlay visibility toggle
     save_world: bool = False
     load_world: bool = False
     quit: bool = False

@@ -405,10 +405,22 @@ def draw_crosshair(img):
 # Full pipeline
 # ---------------------------------------------------------------------------
 
+def compose_overlay(rgb, overlay_u8):
+    """Alpha-composite the (H, W, 4) u8 UI overlay onto the display-space
+    frame — the reference's UIBuffer overlay in the compose pass
+    (Denoiser.cu:375-392).  Raster happens host-side on UI events
+    (rtvb_tpu/ui); this per-frame blend is one fused elementwise op."""
+    ov = overlay_u8.astype(jnp.float32) * (1.0 / 255.0)
+    a = ov[..., 3:4]
+    return rgb * (1.0 - a) + ov[..., :3] * a
+
+
 def run(rgb_linear, state: PostState, pp: PostProcessingSettings,
-        tm: ToneMappingSettings, dt, out_h: int, out_w: int):
+        tm: ToneMappingSettings, dt, out_h: int, out_w: int,
+        overlay_u8=None):
     """(H, W, 3) linear HDR → (out_h, out_w, 3) display sRGB in [0,1].
-    PostProcessor::run / PostProcessingPipeline::Execute equivalent."""
+    PostProcessor::run / PostProcessingPipeline::Execute equivalent.
+    overlay_u8: optional (out_h, out_w, 4) u8 UI overlay (RGBA)."""
     if pp.auto_exposure:
         exp = auto_exposure(rgb_linear, state, pp, dt)
     else:
@@ -427,4 +439,6 @@ def run(rgb_linear, state: PostState, pp: PostProcessingSettings,
         y = sharpen(y, pp.sharpen_strength)
     if pp.crosshair:
         y = draw_crosshair(y)
+    if overlay_u8 is not None:
+        y = compose_overlay(y, overlay_u8)
     return y, PostState(exposure=exp)

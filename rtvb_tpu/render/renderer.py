@@ -158,6 +158,10 @@ class Engine:
 
         self.frame_index = 0
         self.post_state = _commit(postprocess.initial_post_state())
+        # UI overlay (ui/ raster -> device RGBA; zeros = invisible).  Always
+        # an array: a None<->array switch would retrace the frame function.
+        self._ui_overlay = _commit(jnp.zeros(
+            (self.out_height, self.out_width, 4), jnp.uint8))
         self.denoiser_state: DenoiserState | None = None
         self.restir_state = None
         self._light_remap = jnp.arange(self.lights.key.shape[0], dtype=jnp.int32)
@@ -499,7 +503,7 @@ class Engine:
 
             def run(world, mats, lights, sky_state, cam, hist_cam, frame_idx,
                     prev_restir, light_remap, dstate, post_state, dt, ent,
-                    atlas=None):
+                    atlas=None, overlay=None):
                 def trace_fn(o, d, t_cap=None, any_hit=False):
                     impl = trace_kernel.trace if use_pallas else dda.trace
                     kw = {}
@@ -515,7 +519,8 @@ class Engine:
                     light_remap=light_remap, entities=ent, atlas=atlas)
                 rgb, new_dstate = _denoise_jit(g, dstate, dn_cfg)
                 out, new_pstate = postprocess.run(rgb, post_state, pp, tm, dt,
-                                                  out_h, out_w)
+                                                  out_h, out_w,
+                                                  overlay_u8=overlay)
                 out_u8 = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
                 return out_u8, new_restir, new_dstate, new_pstate
 
@@ -538,7 +543,7 @@ class Engine:
             self.camera, self.history_camera, self.frame_index,
             self.restir_state, self._light_remap,
             self.denoiser_state, self.post_state, jnp.float32(dt),
-            self.entity_buffers(), self.texture_atlas)
+            self.entity_buffers(), self.texture_atlas, self._ui_overlay)
         if new_restir is not None:
             self.restir_state = new_restir
         self._light_remap = jnp.arange(self.lights.key.shape[0], dtype=jnp.int32)
@@ -563,13 +568,23 @@ class Engine:
             self.camera, self.history_camera, self.frame_index,
             self.restir_state, self._light_remap,
             self.denoiser_state, self.post_state, jnp.float32(dt),
-            self.entity_buffers(), self.texture_atlas)
+            self.entity_buffers(), self.texture_atlas, self._ui_overlay)
         if new_restir is not None:
             self.restir_state = new_restir
         self._light_remap = jnp.arange(self.lights.key.shape[0], dtype=jnp.int32)
         self.frame_index += 1
         self.history_camera = self.camera
         return out_u8
+
+    def set_ui_overlay(self, rgba_u8) -> None:
+        """Upload a host-rastered (out_h, out_w, 4) u8 RGBA overlay (UI
+        screens, dev panel — rtvb_tpu/ui).  None clears it.  Upload happens
+        only on UI events; the per-frame composite is device-side."""
+        import numpy as _np
+        if rgba_u8 is None:
+            rgba_u8 = _np.zeros((self.out_height, self.out_width, 4), _np.uint8)
+        assert rgba_u8.shape == (self.out_height, self.out_width, 4), rgba_u8.shape
+        self._ui_overlay = _commit(jnp.asarray(rgba_u8, jnp.uint8))
 
     def reset_accumulation(self):
         self._accum = None
