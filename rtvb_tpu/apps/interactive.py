@@ -322,6 +322,10 @@ class InteractiveApp:
             if dynres is not None:
                 eng.set_render_scale(dynres.update(render_ms))
             self.presenter.present(out, frame)
+            if frame == 0:
+                # background-compile the lights-on frame variant so the
+                # first placed lantern doesn't hitch (renderer.warm_*)
+                eng.warm_light_variant_async()
             if inp.toggle_dev_panel:
                 dev_panel = not dev_panel
                 ui_drawn_state = None

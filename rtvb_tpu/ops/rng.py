@@ -65,16 +65,28 @@ def rand2(px, py, frame, dim):
 
 
 class RandState:
-    """Mutable dimension counter mirroring the reference's randIdx++ usage."""
+    """Mutable dimension counter mirroring the reference's randIdx++ usage.
+
+    The (px, py) hash prefix is dim-independent, so it is computed ONCE here
+    and reused by every draw — bit-identical to hash_combine(px, py·9277,
+    dim·26699), but the shared two pcg stages stop being recomputed in every
+    XLA fusion that consumes draws (~16 draws/bounce each re-deriving the
+    prefix; XLA only CSEs within a single fusion)."""
 
     def __init__(self, px, py, frame, base_dim: int = 0):
         self.px = px
         self.py = py
         self.frame = frame
         self.dim = base_dim
+        h = pcg_hash(jnp.uint32(0x9E3779B9) ^ jnp.asarray(px).astype(jnp.uint32))
+        self._base = pcg_hash(
+            h ^ (jnp.asarray(py).astype(jnp.uint32) * jnp.uint32(9277)))
 
     def next(self):
-        v = rand(self.px, self.py, self.frame, jnp.uint32(self.dim))
+        dim = jnp.uint32(self.dim)
+        bits = pcg_hash(self._base ^ (dim * jnp.uint32(26699)))
+        stride = jnp.where((dim & jnp.uint32(1)) == 0, _PHI2_X_U32, _PHI2_Y_U32)
+        v = to_unit_float(bits + jnp.asarray(self.frame, jnp.uint32) * stride)
         self.dim += 1
         return v
 

@@ -34,6 +34,21 @@ from . import restir as restir_mod
 from . import sky as sky_mod
 
 SPAWN_EPS = 1e-3     # self-intersection avoidance offset (SelfHit.h role)
+
+
+def spawn_eps(p):
+    """Adaptive self-hit offset (renderer/shaders/SelfHit.h role — the
+    reference offsets spawn points by position-scaled integer ulps so large
+    world coordinates cannot round back onto the surface).  Float form:
+    1e-5·|p| ≈ 84 f32 ulps, floored at SPAWN_EPS so behavior in the
+    unit-voxel world (coords ≤ 64, where 1e-5·|p| < 1e-3) is unchanged;
+    entity triangles at large coordinates get a proportionally safe
+    offset."""
+    mx = jnp.maximum(jnp.abs(p[0]),
+                     jnp.maximum(jnp.abs(p[1]), jnp.abs(p[2])))
+    return jnp.maximum(jnp.float32(SPAWN_EPS), 1e-5 * mx)
+
+
 REGULARIZE_ROUGHNESS = 0.35   # path regularization after first diffuse
 
 
@@ -254,9 +269,10 @@ def shade_reservoir_deferred(res: Reservoir, p, n, wo, mat, live=None):
     W = jnp.where(res.target_pdf > 1e-9,
                   res.wsum / jnp.maximum(res.target_pdf, 1e-9),
                   0.0)
-    origin = m.add(p, m.scale(n, SPAWN_EPS))
+    eps = spawn_eps(p)
+    origin = m.add(p, m.scale(n, eps))
     sdir = res.dir
-    cap = jnp.maximum(res.dist - 2.0 * SPAWN_EPS, 0.0)
+    cap = jnp.maximum(res.dist - 2.0 * eps, 0.0)
     if live is not None:
         # kill degenerate winners (p̂=0 → dir=(0,0,0)) and dead lanes
         live2 = live & (res.target_pdf > 1e-9)
@@ -542,7 +558,8 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         n_cand = rs_cfg.local_light_candidates if bounce == 0 else \
             min(rs_cfg.local_light_candidates,
                 rs_cfg.secondary_light_candidates)
-        res = _nee_ris(rs, lights, sky_state, m.add(p, m.scale(n, SPAWN_EPS)),
+        eps_p = spawn_eps(p)
+        res = _nee_ris(rs, lights, sky_state, m.add(p, m.scale(n, eps_p)),
                        n, wo, mat, n_cand, trace_any,
                        sun_cos_max,
                        ent_unreachable=(entities is not None
@@ -558,12 +575,13 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                     prev_restir, g_motion_u, g_motion_v, g_depth, n, p, wo,
                     mat, lights, sky_state, light_remap, u_takes,
                     frame_idx=frame_u, n_taps=n_taps)
-            origin = m.add(p, m.scale(n, SPAWN_EPS))
+            origin = m.add(p, m.scale(n, eps_p))
             live2 = alive & (phat2 > 1e-9)
             vdir = m.where3(live2, dir2, (jnp.zeros_like(origin[0]),
                                           jnp.ones_like(origin[1]),
                                           jnp.zeros_like(origin[2])))
-            vcap = jnp.where(live2, jnp.maximum(dist2 - 2.0 * SPAWN_EPS, 0.0), 0.0)
+            vcap = jnp.where(live2,
+                             jnp.maximum(dist2 - 2.0 * eps_p, 0.0), 0.0)
             fv, _ = B.evaluate(mat, n, wo, dir2)
             cos2 = jnp.maximum(m.dot(n, dir2), 0.0)
             nee = tuple(fc * cos2 * lc * W2 for fc, lc in zip(fv, le2))
@@ -613,10 +631,10 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                                          (ey - p[1]) / safe(wi[1])),
                              (ez - p[2]) / safe(wi[2]))
         t_exit = jnp.clip(t_exit, 0.0, 1.75)
-        o_exit = m.add(p, m.scale(wi, t_exit + SPAWN_EPS))
+        o_exit = m.add(p, m.scale(wi, t_exit + eps_p))
         trans_voxel = samp.is_transmission & ~is_ent
         side = jnp.where(samp.is_transmission, -1.0, 1.0)
-        o_surf = m.add(p, m.scale(n, SPAWN_EPS * side))
+        o_surf = m.add(p, m.scale(n, eps_p * side))
         o = m.where3(trans_voxel, o_exit, o_surf)
         d = wi
         prev_delta = samp.is_delta

@@ -476,12 +476,12 @@ class Engine:
         out, self.post_state = self._post_fn()(self._accum, self.post_state, dt)
         return np.asarray(out)
 
-    def _frame_fn(self):
+    def _frame_fn(self, n_local_override: int | None = None):
         """Whole interactive frame as ONE jitted function: path trace →
         denoise → post → u8, all state device-resident.  One dispatch + one
         small (u8) device→host copy per frame."""
         use_restir = self.settings.rendering.use_restir
-        n_local = self._n_local
+        n_local = self._n_local if n_local_override is None else n_local_override
         key = ("frame", self.width, self.height, self.out_width,
                self.out_height, use_restir, n_local)
         if key not in self._compiled:
@@ -575,6 +575,57 @@ class Engine:
         self.frame_index += 1
         self.history_camera = self.camera
         return out_u8
+
+    def warm_light_variant_async(self):
+        """Pre-compile the lights-on frame variant in a background thread.
+
+        Placing the FIRST emissive block flips the compile-time local-light
+        candidate count 0 → local_light_candidates, which would otherwise
+        compile a whole new frame function mid-play (a multi-second hitch
+        the reference never has — OptiX specializes nothing on light
+        count).  Light-table buckets are pow2 with a floor of 8 slots, so
+        the zero-light table already has the lights-on SHAPES: running one
+        throwaway frame through the variant populates the jit executable
+        cache for the exact avals the first real lit frame will use.
+        Returns the Thread (None when the variant is already live)."""
+        n_local = self.settings.rendering.local_light_candidates
+        if self._n_local == n_local or self.restir_state is None \
+                or self.denoiser_state is None:
+            return None
+        import threading
+        fn = self._frame_fn(n_local_override=n_local)
+        args = (self.world, self.materials, self.lights, self.sky_state,
+                self.camera, self.history_camera, self.frame_index,
+                self.restir_state, self._light_remap,
+                self.denoiser_state, self.post_state, jnp.float32(1 / 60),
+                self.entity_buffers(), self.texture_atlas, self._ui_overlay)
+
+        def work():
+            try:
+                jax.block_until_ready(fn(*args)[0])
+            except Exception:   # pragma: no cover - warmup is best-effort
+                pass
+
+        t = threading.Thread(target=work, daemon=True,
+                             name="rtvb-light-variant-warmup")
+        t.start()
+        return t
+
+    def set_sky(self, **sky_updates) -> None:
+        """Change sky parameters (time_of_day, turbidity, intensities —
+        Sky.cu:363-369 time-of-day rotation role) and rebuild the sky state.
+
+        Also RESETS the temporal ReSTIR state: reservoirs cache their
+        sample radiance (render/restir.ReSTIRState.le_*), so a sun/sky
+        change would otherwise replay stale radiance through the temporal
+        taps for many frames (the enforcement hook the cache's contract
+        requires)."""
+        self.settings = self.settings.replace(sky=sky_updates)
+        self.sky_state = host_build(sky_mod.make_sky_state, self.settings.sky)
+        if self.restir_state is not None:
+            from . import restir as restir_mod
+            self.restir_state = _commit(
+                restir_mod.initial_state(self.height, self.width))
 
     def set_ui_overlay(self, rgba_u8) -> None:
         """Upload a host-rastered (out_h, out_w, 4) u8 RGBA overlay (UI

@@ -146,3 +146,41 @@ def test_entity_changes_image(engine):
     d1 = np.asarray(g1.depth)
     changed = (np.abs(d0 - d1) > 0.01).mean()
     assert changed > 0.001, changed   # character occupies some pixels
+
+
+def test_set_sky_resets_restir_cache():
+    """Time-of-day changes must reset the ReSTIR reservoirs: cached sample
+    radiance (ReSTIRState.le_*) would replay the OLD sun/sky through
+    temporal taps (render/restir.py cache contract)."""
+    import numpy as np
+    eng = Engine(settings=Settings(), width=64, height=64)
+    eng.render_realtime()        # populates restir_state with cached le
+    st = eng.restir_state
+    assert st is not None
+    old_sun = np.asarray(eng.sky_state.sun_dir[1])
+    eng.set_sky(time_of_day=18.5)
+    assert float(np.asarray(eng.sky_state.sun_dir[1])) != float(old_sun)
+    # reservoir state reset: M counts back to zero
+    assert float(np.asarray(eng.restir_state.M).max()) == 0.0
+
+
+def test_light_variant_warmup_prevents_recompile():
+    """warm_light_variant_async pre-builds the lights-on frame fn; placing
+    the first emissive block must then find the compiled variant (no
+    mid-play compile hitch)."""
+    eng = Engine(settings=Settings(), width=64, height=64)
+    eng.render_realtime()
+    t = eng.warm_light_variant_async()
+    assert t is not None
+    t.join(timeout=600)
+    assert not t.is_alive()
+    n_local = eng.settings.rendering.local_light_candidates
+    key = ("frame", eng.width, eng.height, eng.out_width, eng.out_height,
+           True, n_local)
+    assert key in eng._compiled
+    # place an emissive block: n_local flips and the warmed fn is reused
+    emissive_id = eng.block_registry.emissive_ids[0]
+    eng.set_block(32, 20, 32, emissive_id)
+    assert eng._n_lights > 0
+    assert eng._frame_fn() is eng._compiled[key]
+    eng.render_realtime()          # must not raise

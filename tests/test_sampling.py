@@ -136,3 +136,16 @@ def test_sun_radiance_cone_matches_full_eval():
     for a, b in zip(full, fast):
         np.testing.assert_allclose(np.asarray(a)[keep], np.asarray(b)[keep],
                                    rtol=0.05)
+
+
+def test_adaptive_spawn_eps_scales_with_position():
+    """SelfHit.h role: offsets must exceed f32 coordinate rounding at large
+    positions (a shadow ray spawned off a triangle at |p| ~ 5e4 with a
+    constant 1e-3 offset rounds back INTO the surface)."""
+    from rtvb_tpu.render.pathtracer import spawn_eps, SPAWN_EPS
+    p_small = (jnp.asarray([10.0]), jnp.asarray([20.0]), jnp.asarray([30.0]))
+    p_big = (jnp.asarray([5e4]), jnp.asarray([0.0]), jnp.asarray([0.0]))
+    assert abs(float(spawn_eps(p_small)[0]) - SPAWN_EPS) < 1e-9  # legacy
+    eps_big = float(spawn_eps(p_big)[0])
+    ulp = float(np.spacing(np.float32(5e4)))
+    assert eps_big > 4 * ulp, (eps_big, ulp)              # safely clears rounding
