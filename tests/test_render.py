@@ -6,6 +6,8 @@ These guard the estimator math: the sun/sky/local RIS weighting bug class
 import numpy as np
 import jax
 import jax.numpy as jnp
+import os
+
 import pytest
 
 from rtvb_tpu.core.config import Settings
@@ -164,6 +166,8 @@ def test_set_sky_resets_restir_cache():
     assert float(np.asarray(eng.restir_state.M).max()) == 0.0
 
 
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="compiles two 64px frame variants (~15 min CPU)")
 def test_light_variant_warmup_prevents_recompile():
     """warm_light_variant_async pre-builds the lights-on frame fn; placing
     the first emissive block must then find the compiled variant (no
