@@ -79,11 +79,17 @@ class Camera(NamedTuple):
 
 def make_camera(pos=(0.0, 0.0, 0.0), yaw=0.0, pitch=0.0,
                 fov_y_degrees=60.0, aspect=16.0 / 9.0) -> Camera:
-    f32 = jnp.float32
+    """Camera leaves are HOST numpy scalars, not device arrays: the
+    interactive/flythrough paths rebuild the camera every frame, and each
+    jnp scalar would be its own tiny device transfer (~10 round-trips per
+    frame over the TPU tunnel — measured 29 → 124 ms/frame).  As jit
+    arguments numpy scalars batch into the single call transfer."""
+    import numpy as _np
+    f32 = _np.float32
     return Camera(
         pos_x=f32(pos[0]), pos_y=f32(pos[1]), pos_z=f32(pos[2]),
         yaw=f32(yaw), pitch=f32(pitch),
-        tan_half_fov_y=jnp.tan(f32(jnp.deg2rad(fov_y_degrees) * 0.5)),
+        tan_half_fov_y=f32(_np.tan(_np.deg2rad(fov_y_degrees) * 0.5)),
         aspect=f32(aspect),
     )
 
