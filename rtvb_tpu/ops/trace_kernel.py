@@ -160,16 +160,18 @@ def _trace_tiles(ox, oy, oz, dx, dy, dz, tcap, colmask, dfrow, maxhrow,
 
 
 def _pick_tile_r(hp: int) -> int:
-    """Largest multiple-of-8 divisor of hp that is <= 48 (tile row count).
+    """Largest multiple-of-8 divisor of hp that is <= 24 (tile row count).
 
     Small-ish tiles win: the per-tile while-loop exits when *all* the
-    tile's rays terminate, so a (40, 128) tile stops waiting on stragglers
-    ~17% sooner than a (120, 128) tile on incoherent bounce waves
-    (measured on v5e); they also keep the ~27 in/out channels + DDA loop
-    state well inside the 16 MB scoped-VMEM budget."""
+    tile's rays terminate, so smaller tiles stop waiting on stragglers
+    sooner.  Measured on v5e at 1080p: incoherent waves 16.6 ms at 40
+    rows → 15.8 ms at 24; coherent 3.16 → 3.09 at 16; below 16 rows the
+    per-tile fixed cost wins back (8 rows: 20.1 ms incoherent).  They
+    also keep the ~27 in/out channels + DDA loop state well inside the
+    16 MB scoped-VMEM budget."""
     best = 8
     r = 8
-    while r <= 48:
+    while r <= 24:
         if hp % r == 0:
             best = r
         r += 8
