@@ -71,3 +71,27 @@ def test_mxu_and_gather_paths_agree(monkeypatch):
     for a, b in zip(ref, got):
         # bf16 matmul operand rounding: values agree to ~3 decimals
         assert np.allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+def test_engine_authored_textures_end_to_end():
+    """rendering.authored_textures=True loads the shipped atlas, resolves
+    materials.yaml image: fields, and changes the rendered albedo
+    (TextureManager.cu end-to-end role)."""
+    import jax
+    from rtvb_tpu.core.config import Settings
+    from rtvb_tpu.render.renderer import Engine
+
+    imgs = {}
+    for flag in (False, True):
+        s = Settings().replace(rendering={"authored_textures": flag,
+                                          "use_restir": False,
+                                          "total_bounce_limit": 1})
+        eng = Engine(settings=s, width=64, height=64)
+        if flag:
+            assert eng.texture_atlas is not None
+            assert len(eng.texture_atlas_names) >= 5
+            assert int(jax.numpy.sum(eng.materials.image_id >= 0)) >= 5
+        g = eng.path_trace()
+        imgs[flag] = np.stack([np.asarray(g.albedo[i]) for i in range(3)], -1)
+    diff = np.abs(imgs[True] - imgs[False]).mean()
+    assert diff > 0.01, diff      # authored albedo actually applied
