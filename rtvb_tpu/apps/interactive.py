@@ -73,7 +73,12 @@ class GameUI:
 # ---------------------------------------------------------------------------
 
 class Presenter:
-    def present(self, frame: np.ndarray, index: int):
+    """Frames arrive as DEVICE arrays (u8 RGB) — the frame loop never copies
+    pixels to host (the reference's CUDA→GL interop contract,
+    Backend.cpp:454-485); presenters pull with np.asarray only when they
+    actually consume pixels."""
+
+    def present(self, frame, index: int):
         raise NotImplementedError
 
     def close(self):
@@ -93,7 +98,8 @@ class PngPresenter(Presenter):
 
     def present(self, frame, index):
         if index % self.every == 0:
-            image.write_png(os.path.join(self.out_dir, f"live_{index:05d}.png"), frame)
+            image.write_png(os.path.join(self.out_dir, f"live_{index:05d}.png"),
+                            np.asarray(frame))
 
 
 # ---------------------------------------------------------------------------
@@ -316,7 +322,11 @@ class InteractiveApp:
                                             "yaw": float(pose.yaw),
                                             "pitch": float(pose.pitch)})
             t_render = time.perf_counter()
-            out = perf.timed("pathTracing", eng.render_realtime, dt)
+            # device endpoint + sync-only block: no per-frame host copy of
+            # the 1080p buffer (presenters pull pixels only when consuming)
+            out = perf.timed("pathTracing", eng.render_realtime_device, dt)
+            import jax as _jax
+            _jax.block_until_ready(out)
             render_ms = (time.perf_counter() - t_render) * 1e3
             perf.end_frame()
             if dynres is not None:
