@@ -332,9 +332,12 @@ class InteractiveApp:
             if dynres is not None:
                 eng.set_render_scale(dynres.update(render_ms))
             self.presenter.present(out, frame)
-            if frame == 0:
+            if frame == 0 and (self.max_frames is None
+                               or self.max_frames > 120):
                 # background-compile the lights-on frame variant so the
-                # first placed lantern doesn't hitch (renderer.warm_*)
+                # first placed lantern doesn't hitch (renderer.warm_*).
+                # Skipped for short scripted sessions: the daemon thread
+                # would still be mid-compile at interpreter exit.
                 eng.warm_light_variant_async()
             if inp.toggle_dev_panel:
                 dev_panel = not dev_panel

@@ -1,0 +1,96 @@
+"""Interactive app: menu FSM, stdin input, dynamic resolution, and one real
+frame-loop session with UI, edits and autosave (Backend.cpp mainloop +
+GameUIManager + InputHandler roles)."""
+import io
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from rtvb_tpu.apps.interactive import (DynamicResolution, GameUI,
+                                       InteractiveApp, Presenter,
+                                       StdinInputSource, GAMEPLAY, MAIN_MENU,
+                                       NEW_GAME)
+from rtvb_tpu.core.config import Settings
+from rtvb_tpu.core.scene import SceneConfig
+from rtvb_tpu.world.persistence import WorldStore
+
+
+def test_game_ui_state_machine(tmp_path):
+    """GameUIState.h:3-9 transitions: menu → new/load → gameplay → menu."""
+    ui = GameUI(WorldStore(str(tmp_path)))
+    assert ui.state == MAIN_MENU
+    assert ui.menu_action("new") == NEW_GAME
+    assert ui.menu_action("back") == MAIN_MENU
+    ui.menu_action("new")
+    assert ui.menu_action("select", "alpha") == GAMEPLAY
+    assert ui.selected_world == "alpha"
+    assert ui.menu_action("menu") == MAIN_MENU
+    # continue requires a last world
+    assert ui.menu_action("continue") == MAIN_MENU
+
+
+def test_stdin_input_source_parsing():
+    src = StdinInputSource(stream=io.StringIO(""))
+    lines = ["w d 3", "F3 F5", "space x b", "quit"]
+    src._pending_lines = lambda: [lines.pop(0)] if lines else []
+    i0 = src(0)
+    assert i0.forward == 1.0 and i0.strafe == 1.0 and i0.selected_block == 3
+    i1 = src(1)
+    assert i1.toggle_dev_panel and i1.save_world
+    i2 = src(2)
+    assert i2.jump and i2.left_click and i2.right_click
+    assert src(3).quit
+
+
+def test_dynamic_resolution_walks_rungs():
+    """Backend.cpp:191-232 role: over budget → lower rung, headroom → raise,
+    with hysteresis (no oscillation on borderline frames)."""
+    dr = DynamicResolution(target_fps=60.0, min_scale=0.5, start_scale=1.0)
+    s = 1.0
+    for _ in range(50):
+        s = dr.update(40.0)          # way over 16.7 ms budget
+    assert s == 0.5
+    for _ in range(200):
+        s = dr.update(4.0)           # deep headroom
+    assert s == 1.0
+    # borderline: must not bounce every frame
+    flips = 0
+    prev = s
+    for _ in range(60):
+        s = dr.update(16.9)
+        flips += (s != prev)
+        prev = s
+    assert flips <= 2
+
+
+class _CollectPresenter(Presenter):
+    def __init__(self):
+        self.frames = []
+
+    def present(self, frame, index):
+        self.frames.append((index, np.asarray(frame)))
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW"),
+                    reason="compiles a frame fn (~3 min CPU): RUN_SLOW=1")
+def test_interactive_session_end_to_end(tmp_path):
+    """A real 8-frame session: scripted input toggles the dev panel, digs a
+    block, saves; frames render and the world autosaves on exit."""
+    lines = ["F3", "w", "x", "F5", "", "", "", "quit"]
+    src = StdinInputSource(stream=io.StringIO(""))
+    src._pending_lines = lambda: [lines.pop(0)] if lines else []
+    store = WorldStore(str(tmp_path / "worlds"))
+    pres = _CollectPresenter()
+    app = InteractiveApp(
+        settings=Settings().replace(rendering={"render_width": 96,
+                                               "render_height": 96,
+                                               "dynamic_resolution": False}),
+        scene=SceneConfig(), presenter=pres, store=store, max_frames=8)
+    app.run(input_source=src)
+    assert len(pres.frames) >= 4
+    idx, f0 = pres.frames[0]
+    assert f0.shape == (96, 96, 3) and f0.dtype == np.uint8
+    assert f0.std() > 1.0                      # not a blank frame
+    assert store.list_worlds()                 # autosave happened
