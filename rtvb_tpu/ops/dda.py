@@ -191,16 +191,25 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
     # inference chokes on i1 vectors in scf.while carries (observed on v5e).
     state = dict(
         t=t, ix=ix, iz=iz, tmax_x=tmax_x, tmax_z=tmax_z,
-        # last_axis: axis of the face through which the current column was
-        # entered (0 = x, 1 = y [first segment only], 2 = z)
-        last_axis=enter_axis,
         alive=(~miss_from_start).astype(jnp.int32),
         hit=zero_i32,
-        hit_t=zero_f32 + BIG,
-        hit_ix=zero_i32, hit_iy=zero_i32, hit_iz=zero_i32,
-        hit_axis=zero_i32,   # 0=x, 1=y, 2=z
         step=jnp.int32(0),
     )
+    if not any_hit:
+        # any-hit (shadow/visibility) rays only need the occlusion bit:
+        # the voxel id / face / exact-t resolution below (bit scans + 6
+        # masked state updates per step) is dead weight for them — the
+        # batched 3H shadow wave was ~40% of all trace time at the 1/2
+        # dynamic-resolution rung (__closesthit__ shadow vs radiance split
+        # role, OptixRenderer.h:49 two ray types)
+        state.update(
+            # last_axis: axis of the face through which the current column
+            # was entered (0 = x, 1 = y [first segment only], 2 = z)
+            last_axis=enter_axis,
+            hit_t=zero_f32 + BIG,
+            hit_ix=zero_i32, hit_iy=zero_i32, hit_iz=zero_i32,
+            hit_axis=zero_i32,   # 0=x, 1=y, 2=z
+        )
 
     def cond(s):
         return (s["step"] < p.max_steps) & jnp.any(s["alive"] != 0)
@@ -228,16 +237,17 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
         hitbits = word & rmask
         got = alive & (hitbits != 0)
 
-        # resolve the first voxel along travel direction
-        yv = jnp.where(dy >= 0, _bit_index_lsb(hitbits), _bit_index_msb(hitbits))
-        ty_enter = (jnp.where(dy >= 0, yv, yv + 1).astype(f32) - oy) * inv_dy
-        t_hit = jnp.maximum(t0, ty_enter)
-        y_face = ty_enter > t0
-        axis = jnp.where(y_face, 1, s["last_axis"])
-
-        new_hit = got & ~prev_hit
+        if not any_hit:
+            # resolve the first voxel along travel direction
+            yv = jnp.where(dy >= 0, _bit_index_lsb(hitbits),
+                           _bit_index_msb(hitbits))
+            ty_enter = (jnp.where(dy >= 0, yv, yv + 1).astype(f32) - oy) * inv_dy
+            t_hit = jnp.maximum(t0, ty_enter)
+            y_face = ty_enter > t0
+            axis = jnp.where(y_face, 1, s["last_axis"])
+            new_hit = got & ~prev_hit
+            s_hit_t = jnp.where(new_hit, t_hit, s["hit_t"])
         s_hit = prev_hit | got
-        s_hit_t = jnp.where(new_hit, t_hit, s["hit_t"])
 
         # --- advance the non-hit lanes to the next column ---
         take_x = s["tmax_x"] < s["tmax_z"]
@@ -246,7 +256,8 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
         niz = jnp.where(take_x, s["iz"], s["iz"] + step_z)
         ntmx = jnp.where(take_x, s["tmax_x"] + tdelta_x, s["tmax_x"])
         ntmz = jnp.where(take_x, s["tmax_z"], s["tmax_z"] + tdelta_z)
-        nlast = jnp.where(take_x, 0, 2)
+        if not any_hit:
+            nlast = jnp.where(take_x, 0, 2)
 
         # --- supercolumn empty-space skipping ---
         sl = _log2(ss)
@@ -295,27 +306,42 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
         done = got | (t_next >= t_exit) | oob
         upd = alive & ~done
 
-        return dict(
+        out = dict(
             t=jnp.where(upd, t_next, s["t"]),
             ix=jnp.where(upd, nix, s["ix"]),
             iz=jnp.where(upd, niz, s["iz"]),
             tmax_x=jnp.where(upd, ntmx, s["tmax_x"]),
             tmax_z=jnp.where(upd, ntmz, s["tmax_z"]),
-            last_axis=jnp.where(upd, nlast, s["last_axis"]),
             alive=(alive & ~done).astype(jnp.int32),
             hit=s_hit.astype(jnp.int32),
-            hit_t=s_hit_t,
-            hit_ix=jnp.where(new_hit, s["ix"], s["hit_ix"]),
-            hit_iy=jnp.where(new_hit, yv, s["hit_iy"]),
-            hit_iz=jnp.where(new_hit, s["iz"], s["hit_iz"]),
-            hit_axis=jnp.where(new_hit, axis, s["hit_axis"]),
             step=s["step"] + 1,
         )
+        if not any_hit:
+            out.update(
+                last_axis=jnp.where(upd, nlast, s["last_axis"]),
+                hit_t=s_hit_t,
+                hit_ix=jnp.where(new_hit, s["ix"], s["hit_ix"]),
+                hit_iy=jnp.where(new_hit, yv, s["hit_iy"]),
+                hit_iz=jnp.where(new_hit, s["iz"], s["hit_iz"]),
+                hit_axis=jnp.where(new_hit, axis, s["hit_axis"]),
+            )
+        return out
 
     s = jax.lax.while_loop(cond, body, state)
 
-    axis = s["hit_axis"]
     hit = s["hit"] != 0
+    if any_hit:
+        # occlusion-only record: t is the hitting column's entry t (a lower
+        # bound on the exact voxel-entry t — callers only use it to bound
+        # a follow-up entity any-hit test, where a lower bound is exact:
+        # a nearer entity hit can only add occlusion the voxel already has)
+        zi = s["ix"] * 0
+        zf = s["t"] * 0.0
+        return HitRecord(
+            hit=hit, t=jnp.where(hit, s["t"], BIG),
+            ix=zi, iy=zi, iz=zi, nx=zf, ny=zf, nz=zf)
+
+    axis = s["hit_axis"]
     nx = jnp.where(axis == 0, -jnp.sign(dx), 0.0)
     ny = jnp.where(axis == 1, -jnp.sign(dy), 0.0)
     nz = jnp.where(axis == 2, -jnp.sign(dz), 0.0)

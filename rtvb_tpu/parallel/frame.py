@@ -128,8 +128,8 @@ def sharded_frame_fn(eng, mesh: Mesh, axis: str = "dp"):
 
     sh = P(axis)
     rep = P()
-    restir_spec = ReSTIRState(*([sh] * len(ReSTIRState._fields))) \
-        if use_restir else rep
+    # packed state is (8, H, W): bands shard the H axis (dim 1)
+    restir_spec = ReSTIRState(data=P(None, axis)) if use_restir else rep
     dstate_spec = DenoiserState(
         slow=sh, fast=sh, moments=sh, hist_len=sh,
         prev_depth=sh, prev_normal=sh, bootstrapped=rep)

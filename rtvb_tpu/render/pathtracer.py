@@ -163,10 +163,9 @@ def _nee_ris(rs: rng.RandState, lights: LightTable, sky_state, p, n, wo, mat,
         Restir.h:286-328): the BSDF continuation ray adds the complementary
         p_bsdf/(p_bsdf + p_nee) share on emissive/sky hits, keeping the total
         weight for direct light at exactly 1."""
-        f, pdf_b = B.evaluate(mat, n, wo, wi)
+        f_lum, pdf_b = B.eval_lum(mat, n, wo, wi)
         cos_i = jnp.maximum(m.dot(n, wi), 0.0)
-        contrib = tuple(fc * cos_i * lc for fc, lc in zip(f, le))
-        p_hat = m.luminance(contrib)
+        p_hat = f_lum * cos_i * m.luminance(le)
         balance = src_pdf / jnp.maximum(src_pdf + pdf_b, 1e-9)
         if force_full is not None:
             # the complementary BSDF-hit share is unreachable for this
@@ -638,7 +637,14 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         o = m.where3(trans_voxel, o_exit, o_surf)
         d = wi
         prev_delta = samp.is_delta
-        prev_cos_pdf = samp.pdf
+        # balance-weight counterpart: the NEE side weighted candidates by
+        # src_pdf/(src_pdf + eval_lum.pdf); the emissive/sky-hit complement
+        # must evaluate the SAME proxy at the continuation direction or the
+        # two MIS halves stop summing to 1 (the estimator itself still
+        # divides by the TRUE pdf via samp.weight — proxy affects weights
+        # only, not unbiasedness)
+        _, prev_cos_pdf = B.eval_lum(mat, n, wo, wi)
+        prev_cos_pdf = jnp.where(samp.is_delta, 0.0, prev_cos_pdf)
         prev_n = n
 
     # ---- batched NEE visibility wave (all bounces' shadow rays at once) ----
@@ -664,21 +670,23 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
             (k2, s2, f2, fa2, fb2, dir2, le2, M2, W2, keep, n0) = \
                 restir_pending
             visible0 = vis_parts[0]
-            new_restir = restir_mod.ReSTIRState(
+            new_restir = restir_mod.pack_state(
                 kind=jnp.where(keep, k2, restir_mod.KIND_NONE),
-                slot=s2, face=f2, fa=fa2, fb=fb2,
-                dx=dir2[0], dy=dir2[1], dz=dir2[2],
+                slot=s2, fa=fa2, fb=fb2, dir3=dir2,
                 W=jnp.where(keep & visible0, W2, 0.0),
                 M=jnp.where(keep, M2, 0.0),
-                depth=g_depth, nx=n0[0], ny=n0[1], nz=n0[2],
-                le_r=le2[0], le_g=le2[1], le_b=le2[2])
+                depth=g_depth, n3=n0, le=le2)
 
-    # NaN scrub (RayGen.cu:175-178)
-    L = [m.nan_scrub(x) for x in L]
-
-    # albedo demodulation (closesthit.cu:293-303)
-    illum = tuple(
-        L[i] / jnp.maximum(g_albedo[i], 0.01) for i in range(3))
+    # NaN scrub (RayGen.cu:175-178) + albedo demodulation
+    # (closesthit.cu:293-303), computed through ONE stacked (H, W, 3) root:
+    # with three separate per-channel roots XLA duplicated the whole
+    # channel-independent shading chain (pdf streams, reservoir math) into
+    # each channel's loop fusion — 3 x ~1.3M-cycle fusions at the 1/2 rung;
+    # a single stacked root shares it (layout {1,0,2} keeps plane tiling)
+    L3 = m.nan_scrub(jnp.stack(L, axis=-1))
+    alb3 = jnp.stack(g_albedo, axis=-1)
+    illum3 = L3 / jnp.maximum(alb3, 0.01)
+    illum = tuple(illum3[..., i] for i in range(3))
 
     g = GBuffers(
         illum=illum,

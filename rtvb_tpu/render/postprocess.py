@@ -235,7 +235,77 @@ def _take_rational(img, out_size: int, axis: int, delta: int):
     return st.reshape(new_shape)
 
 
-def easu(img, out_h: int, out_w: int):
+def _easu_2x(img, fields):
+    """EASU specialization for the exact-2× upscale (the 1/2 dynamic-
+    resolution rung — the settled steady state): each of the 4 output
+    phases has a CONSTANT source frac (±0.25/±0.75), so every tap is an
+    edge-clamped shift at input res and the phase blend weights are
+    scalars.  The generic path's per-tap phase interleaves cost ~12
+    relayout copies of (1080,960,2,3) per frame (~1.1 ms device at 1080p
+    out); here the interleave happens ONCE on the final phase images."""
+    H, W = img.shape[:2]
+
+    def shift(a, dy, dx):
+        # taps reach base_d(-1) + tap(-1..2) = [-2, 2]
+        pr = ((2, 2), (2, 2)) + ((0, 0),) * (a.ndim - 2)
+        p = jnp.pad(a, pr, mode="edge")
+        return p[2 + dy: 2 + dy + H, 2 + dx: 2 + dx + W]
+
+    taps12 = [(-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (0, 2),
+              (1, -1), (1, 0), (1, 1), (1, 2), (2, 0), (2, 1)]
+
+    def phase(base_dy, base_dx, fy, fx):
+        # direction field: quad corners at (base+0/1, base+0/1), scalar blend
+        wf = (1 - fx) * (1 - fy)
+        wg = fx * (1 - fy)
+        wj = (1 - fx) * fy
+        wk = fx * fy
+        blend = (shift(fields, base_dy, base_dx) * wf
+                 + shift(fields, base_dy, base_dx + 1) * wg
+                 + shift(fields, base_dy + 1, base_dx) * wj
+                 + shift(fields, base_dy + 1, base_dx + 1) * wk)
+        dirx, diry, length = blend[..., 0], blend[..., 1], blend[..., 2]
+        dr2 = dirx * dirx + diry * diry
+        has_dir = dr2 > 1e-8
+        inv = jnp.where(has_dir, 1.0 / jnp.sqrt(jnp.maximum(dr2, 1e-8)), 0.0)
+        dirx_n = jnp.where(has_dir, dirx * inv, 1.0)
+        diry_n = diry * inv
+        inv_along = 1.0 / (1.0 + length)
+
+        acc = jnp.zeros_like(img)
+        wsum = jnp.zeros((H, W, 1), img.dtype)
+        for dy, dx in taps12:
+            t = shift(img, base_dy + dy, base_dx + dx)
+            vx = dx - fx
+            vy = dy - fy
+            along = vx * dirx_n + vy * diry_n
+            across = -vx * diry_n + vy * dirx_n
+            d2 = jnp.square(along * inv_along) + jnp.square(across)
+            d2 = jnp.minimum(d2, 4.0)
+            w = jnp.square(0.4 * d2 - 1.0) * (25.0 / 16.0) - (25.0 / 16.0 - 1.0)
+            w = jnp.maximum(w, 0.0)[..., None]
+            acc = acc + t * w
+            wsum = wsum + w
+        out = acc / jnp.maximum(wsum, 1e-5)
+        f_ = shift(img, base_dy, base_dx)
+        g_ = shift(img, base_dy, base_dx + 1)
+        j_ = shift(img, base_dy + 1, base_dx)
+        k_ = shift(img, base_dy + 1, base_dx + 1)
+        qmin = jnp.minimum(jnp.minimum(f_, g_), jnp.minimum(j_, k_))
+        qmax = jnp.maximum(jnp.maximum(f_, g_), jnp.maximum(j_, k_))
+        return jnp.clip(out, qmin, qmax)
+
+    # out row 2k   -> src pos k - 0.25: base k-1, frac 0.75
+    # out row 2k+1 -> src pos k + 0.25: base k,   frac 0.25
+    rows_out = []
+    for base_dy, fy in ((-1, 0.75), (0, 0.25)):
+        p0 = phase(base_dy, -1, fy, 0.75)
+        p1 = phase(base_dy, 0, fy, 0.25)
+        rows_out.append(jnp.stack([p0, p1], axis=2).reshape(H, 2 * W, 3))
+    return jnp.stack(rows_out, axis=1).reshape(2 * H, 2 * W, 3)
+
+
+def easu(img, out_h: int, out_w: int, force_generic: bool = False):
     """Edge-adaptive spatial upsampling (FSR-1.0-EASU-class,
     ScalingFilter.h:124 role): per output pixel, a direction-adaptive
     elliptical negative-lobe kernel over the 12-tap window
@@ -248,7 +318,12 @@ def easu(img, out_h: int, out_w: int):
     Direction and anisotropy come from luma gradients at the inner 2×2 quad
     (bilinearly blended at the sample point); the kernel is stretched along
     the detected edge and sharpened across it; the result is clamped to the
-    inner-quad min/max (deringing)."""
+    inner-quad min/max (deringing).
+
+    The corner gradient/length terms depend only on INPUT pixels, so they
+    are computed once per input pixel (one pass incl. the 2 divides) and
+    phase-tapped to output res — evaluating them per output pixel redid
+    identical math ratio² times (measured 7.5 → ~5 ms post at the 1/2 rung)."""
     H, W = img.shape[:2]
     if H == out_h and W == out_w:
         return img
@@ -256,6 +331,29 @@ def easu(img, out_h: int, out_w: int):
     bx, fx = _src_base(out_w, W)
     fy = fy[:, None, None]
     fx = fx[None, :, None]
+
+    # --- input-res corner fields (dirx, diry, feature length) ---
+    lum = 0.5 * img[..., 1] + 0.25 * (img[..., 0] + img[..., 2])
+
+    def shift(a, dy, dx):
+        # edge-clamped neighbor fetch (pad + slice keeps the native tiling)
+        p = jnp.pad(a, ((1, 1), (1, 1)), mode="edge")
+        return p[1 + dy: 1 + dy + H, 1 + dx: 1 + dx + W]
+
+    lA = shift(lum, 0, -1)
+    lB = shift(lum, 0, 1)
+    lD = shift(lum, -1, 0)
+    lE = shift(lum, 1, 0)
+    dx_ = lB - lA
+    dy_ = lE - lD
+    rng_x = jnp.abs(lA - lum) + jnp.abs(lB - lum)
+    rng_y = jnp.abs(lD - lum) + jnp.abs(lE - lum)
+    lenx = jnp.square(jnp.clip(jnp.abs(dx_) / jnp.maximum(rng_x, 1e-4), 0, 1))
+    leny = jnp.square(jnp.clip(jnp.abs(dy_) / jnp.maximum(rng_y, 1e-4), 0, 1))
+    fields = jnp.stack([dx_, dy_, lenx + leny], axis=-1)
+
+    if out_h == 2 * H and out_w == 2 * W and not force_generic:
+        return _easu_2x(img, fields)
 
     rows = {dy: _take_rational(img, out_h, 0, dy) for dy in (-1, 0, 1, 2)}
 
@@ -268,41 +366,21 @@ def easu(img, out_h: int, out_w: int):
     i_ = tap(1, -1); j_ = tap(1, 0); k_ = tap(1, 1); l_ = tap(1, 2)
     m_ = tap(2, 0); n_ = tap(2, 1)
 
-    def luma(t):
-        return 0.5 * t[..., 1] + 0.25 * (t[..., 0] + t[..., 2])
-
-    lb, lc = luma(b_), luma(c_)
-    le, lf, lg, lh = luma(e_), luma(f_), luma(g_), luma(h_)
-    li, lj, lk, ll = luma(i_), luma(j_), luma(k_), luma(l_)
-    lm, ln = luma(m_), luma(n_)
-
-    # per-quad-corner direction + contrast, bilinearly blended at (fx, fy)
+    # per-quad-corner fields, bilinearly blended at (fx, fy)
     fx2, fy2 = fx[..., 0], fy[..., 0]
     wf = (1 - fx2) * (1 - fy2)
     wg = fx2 * (1 - fy2)
     wj = (1 - fx2) * fy2
     wk = fx2 * fy2
 
-    def corner(lA, lB, lC, lD, lE):
-        """Plus-shaped neighborhood of a quad corner: center lC,
-        left lA, right lB, up lD, down lE → (dirx, diry, len)."""
-        dx_ = lB - lA
-        dy_ = lE - lD
-        rng_x = jnp.abs(lA - lC) + jnp.abs(lB - lC)
-        rng_y = jnp.abs(lD - lC) + jnp.abs(lE - lC)
-        # feature length: edge purity along each axis
-        lenx = jnp.square(jnp.clip(jnp.abs(dx_) / jnp.maximum(rng_x, 1e-4), 0, 1))
-        leny = jnp.square(jnp.clip(jnp.abs(dy_) / jnp.maximum(rng_y, 1e-4), 0, 1))
-        return dx_, dy_, lenx + leny
-
-    dfx, dfy, flen = corner(le, lg, lf, lb, lj)
-    dgx, dgy, glen = corner(lf, lh, lg, lc, lk)
-    djx, djy, jlen = corner(li, lk, lj, lf, lm)
-    dkx, dky, klen = corner(lj, ll, lk, lg, ln)
-
-    dirx = dfx * wf + dgx * wg + djx * wj + dkx * wk
-    diry = dfy * wf + dgy * wg + djy * wj + dky * wk
-    length = flen * wf + glen * wg + jlen * wj + klen * wk
+    frows = {dy: _take_rational(fields, out_h, 0, dy) for dy in (0, 1)}
+    cf = _take_rational(frows[0], out_w, 1, 0)
+    cg = _take_rational(frows[0], out_w, 1, 1)
+    cj = _take_rational(frows[1], out_w, 1, 0)
+    ck = _take_rational(frows[1], out_w, 1, 1)
+    blend = (cf * wf[..., None] + cg * wg[..., None]
+             + cj * wj[..., None] + ck * wk[..., None])
+    dirx, diry, length = blend[..., 0], blend[..., 1], blend[..., 2]
 
     dr2 = dirx * dirx + diry * diry
     has_dir = dr2 > 1e-8
@@ -388,9 +466,10 @@ def sharpen(img, strength: float):
     mx = jnp.maximum(jnp.maximum(up, dn), jnp.maximum(lf, rt))
     mx = jnp.maximum(mx, img)
     amp = jnp.sqrt(jnp.clip(jnp.minimum(mn, 1.0 - mx) / jnp.maximum(mx, 1e-4), 0.0, 1.0))
-    w = -amp * strength * 0.2
-    return jnp.clip((img * (1.0 + 4.0 * jnp.abs(w)) - (up + dn + lf + rt) * jnp.abs(w))
-                    / (1.0 + 4.0 * jnp.abs(w) - 4.0 * jnp.abs(w)), 0.0, 1.0)
+    # unit-DC sharpen: center (1 + 4a) minus neighbors a — the gains cancel
+    # exactly, so no normalization divide is needed
+    a = amp * strength * 0.2
+    return jnp.clip(img * (1.0 + 4.0 * a) - (up + dn + lf + rt) * a, 0.0, 1.0)
 
 
 def draw_crosshair(img):

@@ -31,28 +31,55 @@ M_CAP = 20   # closesthit.cu temporal M-cap
 
 
 class ReSTIRState(NamedTuple):
-    """Per-pixel stored reservoirs + the surface they were built on."""
-    kind: jnp.ndarray     # (H, W) i32
-    slot: jnp.ndarray     # (H, W) i32 light slot (local lights)
-    face: jnp.ndarray     # (H, W) i32 (unused for triangle lights; kept 0)
-    fa: jnp.ndarray       # (H, W) f32 triangle barycentrics
-    fb: jnp.ndarray
-    dx: jnp.ndarray       # (H, W) f32 direction (sun/sky samples)
-    dy: jnp.ndarray
-    dz: jnp.ndarray
-    W: jnp.ndarray        # (H, W) f32 unbiased contribution weight
-    M: jnp.ndarray        # (H, W) f32 candidate count
-    depth: jnp.ndarray    # (H, W) surface depth (validation)
-    nx: jnp.ndarray       # (H, W) surface normal
-    ny: jnp.ndarray
-    nz: jnp.ndarray
-    # cached sample radiance: sun/sky radiance is expensive to re-derive
-    # (Preetham eval ~6.5 ms/tap at 1080p) and static within a frame, so
-    # taps reuse it; LOCAL samples re-read the light table instead (exact
-    # under material edits).  A big time-of-day jump should reset reservoirs.
-    le_r: jnp.ndarray
-    le_g: jnp.ndarray
-    le_b: jnp.ndarray
+    """Per-pixel stored reservoirs + the surface they were built on,
+    PACKED into 8 f32 planes (HalfPrecision.h / fp16 LightInfo role,
+    Light.h:13-23):
+
+        0  kind|slot        (int pack, 2 bits kind)
+        1  fa|fb            (bf16 pair: triangle barycentrics)
+        2  du|dv            (bf16 pair: octahedral sample direction)
+        3  W                (f32 unbiased contribution weight)
+        4  M|le_b           (bf16 pair: candidate count, radiance blue)
+        5  depth            (f32, validation surface)
+        6  nu|nv            (bf16 pair: octahedral surface normal)
+        7  le_r|le_g        (bf16 pair: cached sample radiance — sun/sky
+                             radiance is expensive to re-derive; LOCAL
+                             samples re-read the light table instead.  A
+                             big time-of-day jump resets reservoirs.)
+
+    Storing the packed form (a) halves reservoir HBM traffic, (b) is
+    exactly what the temporal warp kernel gathers — no per-frame pack
+    pass, and (c) gives the frame ONE stacked (8, H, W) reservoir output
+    root instead of 17 planes: XLA duplicated the whole temporal-combine
+    chain into three per-plane loop fusions otherwise (~1.2 ms/frame at
+    the 1/2 dynamic-resolution rung)."""
+    data: jnp.ndarray     # (8, H, W) f32
+
+    @property
+    def M(self):
+        from ..ops.pack import unpack2
+        return unpack2(self.data[4])[0]
+
+    @property
+    def depth(self):
+        return self.data[5]
+
+
+def pack_state(kind, slot, fa, fb, dir3, W, M, depth, n3, le) -> ReSTIRState:
+    """Build the packed per-pixel reservoir state (one stacked root)."""
+    from ..ops.pack import pack2, pack_int, octa_encode
+    du, dv = octa_encode(dir3)
+    nu, nv = octa_encode(n3)
+    return ReSTIRState(data=jnp.stack([
+        pack_int(kind, slot, 2),
+        pack2(fa, fb),
+        pack2(du, dv),
+        W,
+        pack2(M, le[2]),
+        depth,
+        pack2(nu, nv),
+        pack2(le[0], le[1]),
+    ]))
 
 
 def _shift_dyn(arr, dy, dx, axes, max_off: int = 2):
@@ -71,12 +98,10 @@ def _shift_dyn(arr, dy, dx, axes, max_off: int = 2):
 
 
 def initial_state(h: int, w: int) -> ReSTIRState:
-    z = jnp.zeros((h, w))
-    zi = jnp.zeros((h, w), jnp.int32)
-    return ReSTIRState(kind=zi, slot=zi, face=zi, fa=z, fb=z,
-                       dx=z, dy=z, dz=z, W=z, M=z,
-                       depth=jnp.full((h, w), BIG, jnp.float32), nx=z, ny=z, nz=z,
-                       le_r=z, le_g=z, le_b=z)
+    # all-zero packed planes = kind NONE, zero weights; depth plane = BIG
+    z7 = jnp.zeros((5, h, w))
+    return ReSTIRState(data=jnp.concatenate([
+        z7, jnp.full((1, h, w), BIG, jnp.float32), jnp.zeros((2, h, w))]))
 
 
 def reconstruct_sample(state_kind, state_slot, state_face, fa, fb, sdir,
@@ -116,9 +141,12 @@ def reconstruct_sample(state_kind, state_slot, state_face, fa, fb, sdir,
 
 
 def target_pdf(mat, n, wo, wi, le):
-    f, _ = B.evaluate(mat, n, wo, wi)
+    """RIS target p-hat — the luminance-proxy BSDF (ops/bsdf.eval_lum),
+    matching the definition used for the current-frame candidates in
+    pathtracer._nee_ris so stored and fresh reservoirs stay comparable."""
+    f_lum, _ = B.eval_lum(mat, n, wo, wi)
     cos_i = jnp.maximum(m.dot(n, wi), 0.0)
-    return m.luminance(tuple(fc * cos_i * lc for fc, lc in zip(f, le)))
+    return f_lum * cos_i * m.luminance(le)
 
 
 def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
@@ -152,26 +180,14 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
     mv = jnp.where(inb0, motion_v, 0.0)
 
     # nearest-warped reservoir fetch via the Pallas windowed-gather kernel
-    # (prev-frame reservoir read role).  The payload is bit-packed to 8
-    # channels (HalfPrecision.h / fp16 LightInfo role, Light.h:13-23):
-    # ints and bf16 pairs ride as f32 bit patterns through the pure-shuffle
-    # nearest gather, so the kernel cost halves vs the 17-plane layout.
+    # (prev-frame reservoir read role).  The state is STORED bit-packed as
+    # 8 channels (see ReSTIRState): ints and bf16 pairs ride as f32 bit
+    # patterns through the pure-shuffle nearest gather — the kernel cost
+    # halves vs a 17-plane layout and there is no per-frame pack pass.
     # `face` is not stored at all — triangle lights never set it.
     from ..ops.warp_kernel import dispatch_nearest
-    from ..ops.pack import (pack2, unpack2, pack_int, unpack_int,
-                            octa_encode, octa_decode)
-    du, dv = octa_encode((prev.dx, prev.dy, prev.dz))
-    nu, nv = octa_encode((prev.nx, prev.ny, prev.nz))
-    pack = jnp.stack([
-        pack_int(prev.kind, prev.slot, 2),
-        pack2(prev.fa, prev.fb),
-        pack2(du, dv),
-        prev.W,
-        pack2(prev.M, prev.le_b),
-        prev.depth,
-        pack2(nu, nv),
-        pack2(prev.le_r, prev.le_g),
-    ])
+    from ..ops.pack import unpack2, unpack_int, octa_decode
+    pack = prev.data
     sx = (u_cur + mu) * W_img - 0.5
     sy = (1.0 - (v_cur + mv)) * H - 0.5
     got0, wvalid = dispatch_nearest(pack, sy, sx)

@@ -218,3 +218,31 @@ def test_tri_kernel_matches_xla_twin():
     hit = np.asarray(ref.hit)
     np.testing.assert_allclose(np.asarray(got.t)[hit],
                                np.asarray(ref.t)[hit], rtol=1e-5)
+
+
+def test_any_hit_agrees_with_closest_hit(world):
+    """The slim occlusion-only loop (any_hit=True) must report the same hit
+    bit as the full closest-hit trace, and its t must be a lower bound on
+    the exact voxel-entry t (callers use it only to bound the follow-up
+    entity any-hit test)."""
+    cfg, w = world
+    rng = np.random.default_rng(11)
+    n = 400
+    o = np.stack([
+        rng.uniform(-5, cfg.x + 5, n),
+        rng.uniform(5, cfg.y + 10, n),
+        rng.uniform(-5, cfg.z + 5, n),
+    ], axis=1).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    p = trace_params(cfg)
+    so = tuple(jnp.asarray(o[:, i]) for i in range(3))
+    sd = tuple(jnp.asarray(d[:, i]) for i in range(3))
+    full = dda.trace(so, sd, w.colmask, w.df_super[0], p,
+                     maxh_row=w.maxh_super[0])
+    anyh = dda.trace(so, sd, w.colmask, w.df_super[0], p,
+                     maxh_row=w.maxh_super[0], any_hit=True)
+    np.testing.assert_array_equal(np.asarray(anyh.hit), np.asarray(full.hit))
+    hits = np.asarray(full.hit)
+    assert np.all(np.asarray(anyh.t)[hits] <= np.asarray(full.t)[hits] + 1e-4)

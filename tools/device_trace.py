@@ -1,0 +1,173 @@
+"""Device-time attribution of the whole frame fn via jax.profiler xplane.
+
+Usage: python tools/device_trace.py [scale] [frames]
+Captures a trace of the fused realtime frame and prints per-op device time
+(grouped by kernel/fusion name), the ground truth the host-side stage timers
+can't give on this tunneled-TPU host (~3.5 ms dispatch per jit call inflates
+every per-stage micro-bench).
+
+The xplane.pb is parsed with a minimal hand-rolled protobuf wire scanner
+(the installed tensorboard_plugin_profile's generated protos are
+incompatible with the installed protobuf/tensorflow — version skew).
+"""
+from __future__ import annotations
+
+import collections
+import glob
+import os
+import sys
+
+import jax
+
+sys.path.insert(0, ".")
+
+
+# --- minimal protobuf wire-format scanner -------------------------------
+
+def _fields(buf: memoryview):
+    """Yield (field_no, wire_type, value) — value is int for varint/fixed,
+    memoryview for length-delimited."""
+    i, n = 0, len(buf)
+    while i < n:
+        tag = 0
+        shift = 0
+        while True:
+            b = buf[i]; i += 1
+            tag |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        fno, wt = tag >> 3, tag & 7
+        if wt == 0:
+            v = 0; shift = 0
+            while True:
+                b = buf[i]; i += 1
+                v |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            yield fno, wt, v
+        elif wt == 2:
+            ln = 0; shift = 0
+            while True:
+                b = buf[i]; i += 1
+                ln |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            yield fno, wt, buf[i:i + ln]
+            i += ln
+        elif wt == 5:
+            yield fno, wt, int.from_bytes(buf[i:i + 4], "little"); i += 4
+        elif wt == 1:
+            yield fno, wt, int.from_bytes(buf[i:i + 8], "little"); i += 8
+        else:
+            raise ValueError(f"wire type {wt}")
+
+
+def _parse_event(buf):
+    mid = dur = 0
+    for fno, wt, v in _fields(buf):
+        if fno == 1:
+            mid = v
+        elif fno == 3:
+            dur = v
+    return mid, dur
+
+
+def _parse_line(buf):
+    name = ""
+    events = []
+    for fno, wt, v in _fields(buf):
+        if fno == 2:
+            name = bytes(v).decode("utf-8", "replace")
+        elif fno == 4:
+            events.append(_parse_event(v))
+    return name, events
+
+
+def _parse_meta_entry(buf):
+    """map<int64, XEventMetadata> entry -> (id, name)."""
+    key = 0
+    name = ""
+    for fno, wt, v in _fields(buf):
+        if fno == 1:
+            key = v
+        elif fno == 2:
+            for f2, w2, v2 in _fields(v):
+                if f2 == 2:
+                    name = bytes(v2).decode("utf-8", "replace")
+    return key, name
+
+
+def _parse_plane(buf):
+    name = ""
+    lines = []
+    meta = {}
+    for fno, wt, v in _fields(buf):
+        if fno == 2:
+            name = bytes(v).decode("utf-8", "replace")
+        elif fno == 3:
+            lines.append(_parse_line(v))
+        elif fno == 4:
+            k, nm = _parse_meta_entry(v)
+            meta[k] = nm
+    return name, lines, meta
+
+
+def summarize(logdir: str, frames: int, top: int = 40):
+    paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                      recursive=True)
+    assert paths, f"no xplane under {logdir}"
+    buf = memoryview(open(max(paths, key=os.path.getmtime), "rb").read())
+
+    per_op = collections.Counter()
+    total = 0.0
+    for fno, wt, v in _fields(buf):
+        if fno != 1:
+            continue
+        pname, lines, meta = _parse_plane(v)
+        if "TPU" not in pname:
+            continue
+        for lname, events in lines:
+            if "XLA Op" not in lname:
+                continue   # module/step lines double-count the op time
+            for mid, dur_ps in events:
+                per_op[meta.get(mid, f"#{mid}")] += dur_ps / 1e9
+                total += dur_ps / 1e9
+    print(f"\ntotal device time {total:.1f} ms = {total / frames:.2f} ms/frame"
+          f" ({frames} frames)")
+    print(f"{'op':70s} {'ms/frm':>8s} {'%':>5s}")
+    for name, ms in per_op.most_common(top):
+        print(f"{name[:70]:70s} {ms / frames:8.3f} {100 * ms / total:5.1f}")
+    return per_op, total
+
+
+def main():
+    scale = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
+    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+
+    from rtvb_tpu.core.config import Settings
+    from rtvb_tpu.render.renderer import Engine
+
+    settings = Settings().replace(rendering={
+        "render_width": 1920, "render_height": 1080})
+    eng = Engine(settings=settings, width=1920, height=1080,
+                 backend="pallas")
+    eng.set_render_scale(scale)
+    jax.block_until_ready(eng.render_realtime_device())
+    jax.block_until_ready(eng.render_realtime_device())
+
+    logdir = "/tmp/rtvb_trace"
+    os.system(f"rm -rf {logdir}")
+    with jax.profiler.trace(logdir):
+        out = None
+        for _ in range(frames):
+            out = eng.render_realtime_device()
+        jax.block_until_ready(out)
+
+    summarize(logdir, frames)
+
+
+if __name__ == "__main__":
+    main()
