@@ -616,10 +616,10 @@ class Engine:
         Sky.cu:363-369 time-of-day rotation role) and rebuild the sky state.
 
         Also RESETS the temporal ReSTIR state: reservoirs cache their
-        sample radiance (render/restir.ReSTIRState.le_*), so a sun/sky
-        change would otherwise replay stale radiance through the temporal
-        taps for many frames (the enforcement hook the cache's contract
-        requires)."""
+        sample radiance bf16-packed in planes 4 and 7 of ReSTIRState.data,
+        so a sun/sky change would otherwise replay stale radiance through
+        the temporal taps for many frames (the enforcement hook the cache's
+        contract requires)."""
         self.settings = self.settings.replace(sky=sky_updates)
         self.sky_state = host_build(sky_mod.make_sky_state, self.settings.sky)
         if self.restir_state is not None:

@@ -55,15 +55,6 @@ class ReSTIRState(NamedTuple):
     the 1/2 dynamic-resolution rung)."""
     data: jnp.ndarray     # (8, H, W) f32
 
-    @property
-    def M(self):
-        from ..ops.pack import unpack2
-        return unpack2(self.data[4])[0]
-
-    @property
-    def depth(self):
-        return self.data[5]
-
 
 def pack_state(kind, slot, fa, fb, dir3, W, M, depth, n3, le) -> ReSTIRState:
     """Build the packed per-pixel reservoir state (one stacked root)."""
@@ -98,10 +89,11 @@ def _shift_dyn(arr, dy, dx, axes, max_off: int = 2):
 
 
 def initial_state(h: int, w: int) -> ReSTIRState:
-    # all-zero packed planes = kind NONE, zero weights; depth plane = BIG
-    z7 = jnp.zeros((5, h, w))
+    # planes 0-4 zero (kind NONE, zero weights), plane 5 depth = BIG,
+    # planes 6-7 zero (see the ReSTIRState plane table)
+    z5 = jnp.zeros((5, h, w))
     return ReSTIRState(data=jnp.concatenate([
-        z7, jnp.full((1, h, w), BIG, jnp.float32), jnp.zeros((2, h, w))]))
+        z5, jnp.full((1, h, w), BIG, jnp.float32), jnp.zeros((2, h, w))]))
 
 
 def reconstruct_sample(state_kind, state_slot, state_face, fa, fb, sdir,

@@ -210,6 +210,111 @@ def sky_plus_sun(d, sky: SkyState):
 
 
 # ---------------------------------------------------------------------------
+# Scalar pre-evaluation for the fused shading kernel (render/ris_kernel.py):
+# everything in sky_radiance that does not depend on the per-pixel direction
+# is folded into one flat f32 vector per frame, so the kernel's per-pixel
+# work is 6 exp + 1 acos + the xyY→RGB matrix (the reference bakes the same
+# split into its per-frame launch params, Sky.cu:19-83).
+# ---------------------------------------------------------------------------
+
+# layout indices of the packed scalar vector
+SF_SUN_X, SF_SUN_Y, SF_SUN_Z = 0, 1, 2
+SF_COS_SUN = 3          # cos of sun angular radius
+SF_PDF_SUN = 4          # solid-angle pdf of the sun cone sample
+SF_SUN_R, SF_SUN_G, SF_SUN_B = 5, 6, 7   # premultiplied sun radiance tint
+SF_SKY_SCALE = 8        # SKY_RADIANCE_SCALE · intensity · twilight fade
+SF_PEREZ = 9            # 15 slots: (A,B,C,D,E) × (Y, x, y)
+SF_ZY, SF_ZCX, SF_ZCY = 24, 25, 26       # zenith value / Perez-den per channel
+SF_ANY_LIGHTS = 27
+SF_LEN = 32
+
+
+def sky_scalar_pack(sky: SkyState, any_lights) -> jnp.ndarray:
+    """(SF_LEN,) f32 vector of per-frame sky/sun scalars (see layout above)."""
+    T = sky.turbidity
+    sd = sky.sun_dir
+    cos_ts = jnp.clip(sd[1], 0.02, 1.0)
+    ts = jnp.arccos(cos_ts)
+
+    chi = (4.0 / 9.0 - T / 120.0) * (jnp.pi - 2.0 * ts)
+    Yz = (4.0453 * T - 4.9710) * jnp.tan(chi) - 0.2155 * T + 2.4192
+    xz, yz = _zenith_chroma(T, ts)
+
+    coefs = [
+        (0.1787 * T - 1.4630, -0.3554 * T + 0.4275,
+         -0.0227 * T + 5.3251, 0.1206 * T - 2.5771, -0.0670 * T + 0.3703),
+        (-0.0193 * T - 0.2592, -0.0665 * T + 0.0008,
+         -0.0004 * T + 0.2125, -0.0641 * T - 0.8989, -0.0033 * T + 0.0452),
+        (-0.0167 * T - 0.2608, -0.0950 * T + 0.0092,
+         -0.0079 * T + 0.2102, -0.0441 * T - 1.6537, -0.0109 * T + 0.0529),
+    ]
+    dens = [jnp.maximum(_perez(jnp.float32(1.0), ts, cos_ts, *c), 1e-6)
+            for c in coefs]
+
+    fade = jnp.clip((sd[1] + 0.1) * 8.0, 0.0, 1.0)
+    scale = SKY_RADIANCE_SCALE * sky.sky_intensity * fade
+
+    # sun cone-candidate constants (sun_radiance_cone minus the per-pixel limb)
+    elev = jnp.clip(sd[1], 0.0, 1.0)
+    warm = (jnp.float32(1.0), 0.75 + 0.23 * jnp.sqrt(elev),
+            0.52 + 0.44 * jnp.sqrt(elev))
+    vis = jnp.clip((sd[1] + 0.05) * 12.0, 0.0, 1.0)
+    sun_base = SUN_RADIANCE_SCALE * sky.sun_intensity * vis
+    pdf_sun = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - sky.cos_sun_radius), 1e-9)
+
+    v = [sd[0], sd[1], sd[2], sky.cos_sun_radius, pdf_sun,
+         sun_base * warm[0], sun_base * warm[1], sun_base * warm[2],
+         scale]
+    for c in coefs:
+        v.extend(c)
+    v.extend([Yz / dens[0], xz / dens[1], yz / dens[2]])
+    v.append(jnp.asarray(any_lights, jnp.float32))
+    v.extend([jnp.float32(0.0)] * (SF_LEN - len(v)))
+    return jnp.stack([jnp.asarray(x, jnp.float32) for x in v])
+
+
+def _acos_poly(x):
+    """Branchless polynomial acos (Abramowitz–Stegun 4.4.45, |err| ≤ 7e-5
+    rad) — Mosaic has no acos primitive; gamma only feeds exp(D·γ) so this
+    is more than accurate enough."""
+    ax = jnp.abs(x)
+    r = jnp.sqrt(jnp.maximum(1.0 - ax, 0.0)) * (
+        1.5707963 + ax * (-0.2121144 + ax * (0.0742610 - 0.0187293 * ax)))
+    return jnp.where(x >= 0.0, r, jnp.pi - r)
+
+
+def sky_radiance_scalars(d, sf, rcp=None):
+    """sky_radiance re-expressed over the packed scalar vector (kernel-side
+    twin; rcp lets the kernel substitute an approximate reciprocal)."""
+    if rcp is None:
+        rcp = lambda x: 1.0 / x
+    sun = (sf[SF_SUN_X], sf[SF_SUN_Y], sf[SF_SUN_Z])
+    cos_theta = jnp.clip(d[1], 0.0, 1.0)
+    cos_gamma = jnp.clip(m.dot(d, sun), -1.0, 1.0)
+    gamma = _acos_poly(cos_gamma)
+    inv_ct = rcp(jnp.maximum(cos_theta, 0.01))
+    g2 = cos_gamma * cos_gamma
+
+    def num(i):
+        A, B, C, D, E = (sf[SF_PEREZ + 5 * i + k] for k in range(5))
+        return ((1.0 + A * jnp.exp(B * inv_ct))
+                * (1.0 + C * jnp.exp(D * gamma) + E * g2))
+
+    Y = sf[SF_ZY] * num(0)
+    x = sf[SF_ZCX] * num(1)
+    y = sf[SF_ZCY] * num(2)
+
+    Yy = Y * rcp(jnp.maximum(y, 1e-5))
+    X = x * Yy
+    Z = (1.0 - x - y) * Yy
+    r = jnp.maximum(3.2406 * X - 1.5372 * Y - 0.4986 * Z, 0.0)
+    g = jnp.maximum(-0.9689 * X + 1.8758 * Y + 0.0415 * Z, 0.0)
+    b = jnp.maximum(0.0557 * X - 0.2040 * Y + 1.0570 * Z, 0.0)
+    s = sf[SF_SKY_SCALE] * jnp.where(d[1] < 0.0, 0.35, 1.0)
+    return (r * s, g * s, b * s)
+
+
+# ---------------------------------------------------------------------------
 # Equal-area environment map + pdf (Sky.cu:355-396 parity; used for light
 # sampling diagnostics/tests, not by the hot path)
 # ---------------------------------------------------------------------------
