@@ -49,6 +49,11 @@ class RenderingSettings:
     authored_textures: bool = False
     entity_shadows: bool = True         # entities block NEE visibility rays
     entity_in_bounces: bool = False     # entities visible in indirect bounces
+    # per-bounce direct lighting + BSDF continuation as ONE fused kernel
+    # (render/ris_kernel.py) instead of the in-line XLA composition — the
+    # XLA shading fusions were measured VPU-op-bound at ~23 ms/frame
+    # (docs/PROFILE.md r3); same estimator, same RNG stream either way
+    fused_shading: bool = True
 
 
 @dataclass(frozen=True)

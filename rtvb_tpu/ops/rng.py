@@ -34,16 +34,25 @@ def hash_combine(*xs):
 
 
 def to_unit_float(bits):
-    """uint32 → [0, 1) float32."""
-    return bits.astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+    """uint32 → [0, 1) float32 via mantissa injection: the top 23 bits
+    become the mantissa of a float in [1, 2), minus 1.  Chosen over
+    `astype(float32)·2⁻³²` because Mosaic (Pallas TPU) has no u32→f32
+    cast — and the bitcast form is one VPU op cheaper anyway.  All RNG
+    consumers (XLA paths, RandState, the fused shade kernel) share this
+    formula, keeping every backend's sample stream bit-identical."""
+    import jax
+    b = (bits >> jnp.uint32(9)) | jnp.uint32(0x3F800000)
+    return jax.lax.bitcast_convert_type(b, jnp.float32) - 1.0
 
 
 # R2 strides as fixed-point uint32 (round(stride · 2³²)): the golden-ratio
 # frame advance runs in exact modular arithmetic, so the sequence never
 # degrades however large the frame counter grows (float32 frame·stride loses
 # fractional precision past ~5e5 frames — a couple of hours at 60 fps).
-_PHI2_X_U32 = jnp.uint32(3242174889)   # round(0.7548776662466927 * 2**32)
-_PHI2_Y_U32 = jnp.uint32(2447445413)   # round(0.5698402909980532 * 2**32)
+PHI2_X_BITS = 3242174889   # round(0.7548776662466927 * 2**32)
+PHI2_Y_BITS = 2447445413   # round(0.5698402909980532 * 2**32)
+_PHI2_X_U32 = jnp.uint32(PHI2_X_BITS)
+_PHI2_Y_U32 = jnp.uint32(PHI2_Y_BITS)
 
 
 def rand(px, py, frame, dim):

@@ -292,7 +292,7 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                  y0=0, rows: int | None = None,
                  prev_restir=None, light_remap=None,
                  entities: EntityBuffers | None = None,
-                 atlas=None):
+                 atlas=None, shade_backend: str | None = None):
     """One 1-spp path-traced frame producing denoiser-ready G-buffers.
 
     trace_fn(o, d, t_cap, any_hit) -> HitRecord, closed over world tables
@@ -303,6 +303,17 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
     the primary vertex runs temporal ReSTIR (reservoir reuse across frames,
     closesthit.cu:636-785); light_remap maps previous light slots to current
     ones after edits.  Returns (GBuffers, new_restir | None).
+
+    shade_backend selects the per-bounce direct-lighting estimator:
+      None      — the in-line XLA composition below (_nee_ris +
+                  restir.temporal_combine + B.sample), the original path;
+      "pallas"  — render/ris_kernel.fused_shade as a TPU kernel (the whole
+                  RIS + temporal-reuse + winner-shading + BSDF-continuation
+                  block in VMEM; closesthit.cu:330-845 role);
+      "xla"     — the same fused body traced directly (CPU tests/goldens).
+    All three consume the identical RNG stream and compute the same
+    estimator; the fused paths exist because the XLA composition is
+    VPU-op-bound (docs/PROFILE.md round 3).
     """
     use_restir = prev_restir is not None
     H, W = (height if rows is None else rows), width
@@ -350,6 +361,15 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
 
     sun_cos_max = sky_state.cos_sun_radius
     pdf_sun_cone = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - sun_cos_max), 1e-9)
+
+    if shade_backend is not None:
+        # per-frame packed tables for the fused shade kernel: light fields /
+        # light ints (with the id-remap row baked in), env alias rows, and
+        # the sky/sun scalar vector (render/ris_kernel.py layouts)
+        from . import ris_kernel
+        lf_pack, li_pack = ris_kernel.pack_light_tables(lights, light_remap)
+        envf_pack, envi_pack = ris_kernel.pack_env_tables(sky_state)
+        sf_pack = sky_mod.sky_scalar_pack(sky_state, lights.count > 0)
 
     # NEE visibility rays are deferred: each bounce appends its winner's
     # shadow ray + pre-visibility contribution; ONE batched any-hit wave
@@ -558,39 +578,79 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
             min(rs_cfg.local_light_candidates,
                 rs_cfg.secondary_light_candidates)
         eps_p = spawn_eps(p)
-        res = _nee_ris(rs, lights, sky_state, m.add(p, m.scale(n, eps_p)),
-                       n, wo, mat, n_cand, trace_any,
-                       sun_cos_max,
-                       ent_unreachable=(entities is not None
-                                        and not rs_cfg.entity_in_bounces))
-        if bounce == 0 and use_restir:
-            n_taps = max(1, rs_cfg.restir_temporal_samples)
-            u_takes = tuple(rs.next() for _ in range(n_taps))
-            (k2, s2, f2, fa2, fb2, dir2, dist2, le2, phat2, wsum2, M2, W2) = \
-                restir_mod.temporal_combine(
+        ent_unreach = (entities is not None and not rs_cfg.entity_in_bounces)
+        if shade_backend is not None:
+            # fused estimator: the whole RIS + temporal-combine + winner
+            # shading + BSDF continuation block as one kernel invocation
+            p_off = m.add(p, m.scale(n, eps_p))
+            n_taps_b = 0
+            taps = ()
+            if bounce == 0 and use_restir:
+                n_taps_b = max(1, rs_cfg.restir_temporal_samples)
+                raw = restir_mod.warp_taps(prev_restir, g_motion_u,
+                                           g_motion_v, frame_u, n_taps_b)
+                taps = [([tp[c] for c in range(8)], tv.astype(jnp.int32))
+                        for tp, tv in raw]
+            sh_cfg = ris_kernel.ShadeConfig(
+                n_local=n_cand, n_taps=n_taps_b,
+                k_slots=int(lights.prob.shape[0]),
+                base_dim=8 + bounce * 64,
+                ent_unreachable=ent_unreach,
+                m_cap=float(restir_mod.M_CAP), dis_thr=0.2,
+                approx=(shade_backend == "pallas"))
+            out = ris_kernel.fused_shade(
+                sh_cfg, frame_u, y0, sf_pack, lf_pack, li_pack,
+                envf_pack, envi_pack, p_off, n, wo,
+                (mat.albedo_r, mat.albedo_g, mat.albedo_b),
+                mat.roughness, mat.metallic, mat.translucency,
+                depth=g_depth if n_taps_b else None, taps=taps,
+                backend=shade_backend)
+            nee = out.nee
+            live2 = alive & (out.phat > 1e-9)
+            vdir = m.where3(live2, out.dir, (jnp.zeros_like(p[0]),
+                                             jnp.ones_like(p[1]),
+                                             jnp.zeros_like(p[2])))
+            vcap = jnp.where(live2,
+                             jnp.maximum(out.dist - 2.0 * eps_p, 0.0), 0.0)
+            shadow_rays.append((p_off, vdir, vcap))
+            if bounce == 0 and use_restir:
+                restir_pending = (out.kind, out.slot,
+                                  jnp.zeros_like(out.kind), out.fa, out.fb,
+                                  out.dir, out.le, out.M, out.W, alive, n)
+        else:
+            res = _nee_ris(rs, lights, sky_state,
+                           m.add(p, m.scale(n, eps_p)),
+                           n, wo, mat, n_cand, trace_any,
+                           sun_cos_max, ent_unreachable=ent_unreach)
+            if bounce == 0 and use_restir:
+                n_taps = max(1, rs_cfg.restir_temporal_samples)
+                u_takes = tuple(rs.next() for _ in range(n_taps))
+                (k2, s2, f2, fa2, fb2, dir2, dist2, le2, phat2, wsum2, M2,
+                 W2) = restir_mod.temporal_combine(
                     res.kind, res.slot, res.face, res.fa, res.fb, res.dir,
                     res.dist, res.le, res.wsum,
                     res.m_count.astype(jnp.float32), res.target_pdf,
                     prev_restir, g_motion_u, g_motion_v, g_depth, n, p, wo,
                     mat, lights, sky_state, light_remap, u_takes,
                     frame_idx=frame_u, n_taps=n_taps)
-            origin = m.add(p, m.scale(n, eps_p))
-            live2 = alive & (phat2 > 1e-9)
-            vdir = m.where3(live2, dir2, (jnp.zeros_like(origin[0]),
-                                          jnp.ones_like(origin[1]),
-                                          jnp.zeros_like(origin[2])))
-            vcap = jnp.where(live2,
-                             jnp.maximum(dist2 - 2.0 * eps_p, 0.0), 0.0)
-            fv, _ = B.evaluate(mat, n, wo, dir2)
-            cos2 = jnp.maximum(m.dot(n, dir2), 0.0)
-            nee = tuple(fc * cos2 * lc * W2 for fc, lc in zip(fv, le2))
-            keep = alive
-            restir_pending = (k2, s2, f2, fa2, fb2, dir2, le2, M2, W2, keep, n)
-            shadow_rays.append((origin, vdir, vcap))
-        else:
-            nee, origin, vdir, vcap = shade_reservoir_deferred(
-                res, p, n, wo, mat, live=alive)
-            shadow_rays.append((origin, vdir, vcap))
+                origin = m.add(p, m.scale(n, eps_p))
+                live2 = alive & (phat2 > 1e-9)
+                vdir = m.where3(live2, dir2, (jnp.zeros_like(origin[0]),
+                                              jnp.ones_like(origin[1]),
+                                              jnp.zeros_like(origin[2])))
+                vcap = jnp.where(live2,
+                                 jnp.maximum(dist2 - 2.0 * eps_p, 0.0), 0.0)
+                fv, _ = B.evaluate(mat, n, wo, dir2)
+                cos2 = jnp.maximum(m.dot(n, dir2), 0.0)
+                nee = tuple(fc * cos2 * lc * W2 for fc, lc in zip(fv, le2))
+                keep = alive
+                restir_pending = (k2, s2, f2, fa2, fb2, dir2, le2, M2, W2,
+                                  keep, n)
+                shadow_rays.append((origin, vdir, vcap))
+            else:
+                nee, origin, vdir, vcap = shade_reservoir_deferred(
+                    res, p, n, wo, mat, live=alive)
+                shadow_rays.append((origin, vdir, vcap))
         # contribution pending visibility: applied after the batched wave
         shadow_rgb.append(tuple(
             jnp.where(alive, throughput[i] * nee[i], 0.0) for i in range(3)))
@@ -599,8 +659,16 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         if bounce == rs_cfg.total_bounce_limit - 1:
             alive = jnp.zeros_like(alive)
             break
-        u1, u2, u3 = rs.next3()
-        samp = B.sample(mat, n, wo, u1, u2, u3)
+        if shade_backend is not None:
+            # continuation sample computed by the fused kernel
+            samp = B.BsdfSample(
+                wi=out.wi, weight=out.weight,
+                pdf=jnp.zeros_like(out.phat),
+                is_delta=out.is_delta != 0,
+                is_transmission=out.is_transmission != 0)
+        else:
+            u1, u2, u3 = rs.next3()
+            samp = B.sample(mat, n, wo, u1, u2, u3)
         # delta lobes (mirror, glass pass-through) never consume the diffuse
         # budget; rough surfaces and diffuse thin transmission do
         is_diffuse_lobe = ~samp.is_delta & ((mat.roughness > 0.35)
@@ -643,8 +711,11 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         # two MIS halves stop summing to 1 (the estimator itself still
         # divides by the TRUE pdf via samp.weight — proxy affects weights
         # only, not unbiasedness)
-        _, prev_cos_pdf = B.eval_lum(mat, n, wo, wi)
-        prev_cos_pdf = jnp.where(samp.is_delta, 0.0, prev_cos_pdf)
+        if shade_backend is not None:
+            prev_cos_pdf = out.prev_cos_pdf   # kernel zeroed delta lobes
+        else:
+            _, prev_cos_pdf = B.eval_lum(mat, n, wo, wi)
+            prev_cos_pdf = jnp.where(samp.is_delta, 0.0, prev_cos_pdf)
         prev_n = n
 
     # ---- batched NEE visibility wave (all bounces' shadow rays at once) ----

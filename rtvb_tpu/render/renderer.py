@@ -407,6 +407,8 @@ class Engine:
 
             use_pallas = self.backend == "pallas" or (
                 self.backend == "auto" and jax.default_backend() == "tpu")
+            shade_backend = (("pallas" if use_pallas else "xla")
+                             if rs_cfg.fused_shading else None)
             if use_pallas:
                 from ..ops import trace_kernel
 
@@ -424,7 +426,8 @@ class Engine:
                     cfg, world, mats, lights, sky_state, cam, hist_cam,
                     frame_idx, W, H, rs_cfg, trace_fn,
                     prev_restir=prev_restir if use_restir else None,
-                    light_remap=light_remap, entities=ent, atlas=atlas)
+                    light_remap=light_remap, entities=ent, atlas=atlas,
+                    shade_backend=shade_backend)
 
             self._compiled[key] = jax.jit(run)
         return self._compiled[key]
@@ -497,6 +500,8 @@ class Engine:
             out_h, out_w = self.out_height, self.out_width
             use_pallas = self.backend == "pallas" or (
                 self.backend == "auto" and jax.default_backend() == "tpu")
+            shade_backend = (("pallas" if use_pallas else "xla")
+                             if rs_cfg.fused_shading else None)
             if use_pallas:
                 from ..ops import trace_kernel
             from .denoiser import _denoise_jit
@@ -516,7 +521,8 @@ class Engine:
                     cfg, world, mats, lights, sky_state, cam, hist_cam,
                     frame_idx, W, H, rs_cfg, trace_fn,
                     prev_restir=prev_restir if use_restir else None,
-                    light_remap=light_remap, entities=ent, atlas=atlas)
+                    light_remap=light_remap, entities=ent, atlas=atlas,
+                    shade_backend=shade_backend)
                 rgb, new_dstate = _denoise_jit(g, dstate, dn_cfg)
                 out, new_pstate = postprocess.run(rgb, post_state, pp, tm, dt,
                                                   out_h, out_w,

@@ -141,6 +141,49 @@ def target_pdf(mat, n, wo, wi, le):
     return f_lum * cos_i * m.luminance(le)
 
 
+def warp_taps(prev: ReSTIRState, motion_u, motion_v, frame_idx,
+              n_taps: int):
+    """Warped previous-reservoir fetches for the temporal taps.
+
+    Tap 0 is the exact nearest reprojection through the Pallas windowed
+    gather; taps 1+ are edge-CLAMPED frame-varying integer offsets of tap 0
+    (reflected-clamp role of closesthit.cu:660-671 — jnp.roll would wrap,
+    letting border pixels read reservoirs from the opposite screen edge).
+    Returns a list of (planes (8, H, W) f32, valid (H, W) bool) — the raw
+    packed state; callers unpack (temporal_combine here, or the fused
+    shading kernel render/ris_kernel.py in VMEM)."""
+    H, W_img = motion_u.shape
+    u_cur = (jnp.arange(W_img) + 0.5)[None, :] / W_img
+    v_cur = 1.0 - (jnp.arange(H) + 0.5)[:, None] / H
+    # clamp invalid motion to identity; inb rejects those pixels downstream
+    inb0 = (jnp.abs(motion_u) < 1.5) & (jnp.abs(motion_v) < 1.5)
+    mu = jnp.where(inb0, motion_u, 0.0)
+    mv = jnp.where(inb0, motion_v, 0.0)
+
+    from ..ops.warp_kernel import dispatch_nearest
+    pack = prev.data
+    sx = (u_cur + mu) * W_img - 0.5
+    sy = (1.0 - (v_cur + mv)) * H - 0.5
+    got0, wvalid = dispatch_nearest(pack, sy, sx)
+    valid0 = inb0 & wvalid
+
+    # frame-varying jitter offsets for the extra taps (R2-ish integer cycle);
+    # generated programmatically so any n_taps works (primes decorrelate taps)
+    fi = jnp.asarray(frame_idx, jnp.int32)
+    _PRIMES = (2, 3, 5, 7, 11, 13, 17, 19)
+    offs = [((fi * _PRIMES[i % len(_PRIMES)] + i + 1) % 5 - 2)
+            * (-1 if i % 3 == 2 else 1)
+            for i in range(2 * max(n_taps - 1, 0) + 2)]
+
+    taps = [(got0, valid0)]
+    for t in range(1, n_taps):
+        dy = offs[2 * (t - 1)]
+        dx = offs[2 * (t - 1) + 1]
+        taps.append((_shift_dyn(got0, dy, dx, axes=(1, 2)),
+                     _shift_dyn(valid0, dy, dx, axes=(0, 1))))
+    return taps
+
+
 def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
                      cur_dist, cur_le, cur_wsum, cur_M, cur_phat,
                      prev: ReSTIRState, motion_u, motion_v,
@@ -161,42 +204,19 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
 
     u_takes: tuple of n_taps uniforms (one reservoir-selection draw per tap).
     Returns merged reservoir fields + final W."""
-    import jax.lax as lax
-
-    H, W_img = depth.shape
-    u_cur = (jnp.arange(W_img) + 0.5)[None, :] / W_img
-    v_cur = 1.0 - (jnp.arange(H) + 0.5)[:, None] / H
-    # clamp invalid motion to identity; inb rejects those pixels downstream
-    inb0 = (jnp.abs(motion_u) < 1.5) & (jnp.abs(motion_v) < 1.5)
-    mu = jnp.where(inb0, motion_u, 0.0)
-    mv = jnp.where(inb0, motion_v, 0.0)
-
-    # nearest-warped reservoir fetch via the Pallas windowed-gather kernel
+    # nearest-warped reservoir fetches via the Pallas windowed-gather kernel
     # (prev-frame reservoir read role).  The state is STORED bit-packed as
     # 8 channels (see ReSTIRState): ints and bf16 pairs ride as f32 bit
     # patterns through the pure-shuffle nearest gather — the kernel cost
     # halves vs a 17-plane layout and there is no per-frame pack pass.
     # `face` is not stored at all — triangle lights never set it.
-    from ..ops.warp_kernel import dispatch_nearest
     from ..ops.pack import unpack2, unpack_int, octa_decode
-    pack = prev.data
-    sx = (u_cur + mu) * W_img - 0.5
-    sy = (1.0 - (v_cur + mv)) * H - 0.5
-    got0, wvalid = dispatch_nearest(pack, sy, sx)
-    valid0 = inb0 & wvalid
-
-    # frame-varying jitter offsets for the extra taps (R2-ish integer cycle);
-    # generated programmatically so any n_taps works (primes decorrelate taps)
-    fi = jnp.asarray(frame_idx, jnp.int32)
-    _PRIMES = (2, 3, 5, 7, 11, 13, 17, 19)
-    offs = [((fi * _PRIMES[i % len(_PRIMES)] + i + 1) % 5 - 2) * (-1 if i % 3 == 2 else 1)
-            for i in range(2 * max(n_taps - 1, 0) + 2)]
-
     from ..ops.gatherlib import fast_gather
 
     if not isinstance(u_takes, (tuple, list)):
         u_takes = (u_takes,)
     n_taps = min(n_taps, len(u_takes))
+    raw_taps = warp_taps(prev, motion_u, motion_v, frame_idx, n_taps)
 
     # running merged reservoir, seeded with the current-frame candidate
     W_cur = jnp.where(cur_phat > 1e-9,
@@ -208,17 +228,7 @@ def temporal_combine(cur_kind, cur_slot, cur_face, cur_fa, cur_fb, cur_dir,
 
     taps = []
     for t in range(n_taps):
-        if t == 0:
-            tap, tvalid = got0, valid0
-        else:
-            # edge-CLAMPED shift (reflected-clamp role of closesthit.cu:
-            # 660-671): jnp.roll would wrap, letting border pixels read
-            # reservoirs from the opposite screen edge — a similar surface
-            # there passes the validity tests and biases edge pixels
-            dy = offs[2 * (t - 1)]
-            dx = offs[2 * (t - 1) + 1]
-            tap = _shift_dyn(got0, dy, dx, axes=(1, 2))
-            tvalid = _shift_dyn(valid0, dy, dx, axes=(0, 1))
+        tap, tvalid = raw_taps[t]
         pk, pslot = unpack_int(tap[0], 2)
         pfa, pfb = unpack2(tap[1])
         pdir = octa_decode(*unpack2(tap[2]))

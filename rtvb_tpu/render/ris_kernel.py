@@ -108,9 +108,16 @@ N_OUT = 26
 _OUT_I32 = (0, 1, 23, 24)   # kind, slot, is_delta, is_transmission
 
 
+def _g1(row, idx):
+    """General small-row gather for the XLA twin (arbitrary trailing dim —
+    lane_gather requires the 128-lane tile shape the Pallas binding has)."""
+    return jnp.take(row, jnp.clip(idx, 0, row.shape[0] - 1))
+
+
 def _fused_body(cfg: ShadeConfig, px, py, frame_u, sf,
                 p, n, wo, alb, rough, metal, trans,
-                depth, taps, lf, li, envf, envi) -> ShadeOut:
+                depth, taps, lf, li, envf, envi,
+                xla: bool = False) -> ShadeOut:
     """The estimator over tile- or image-shaped SoA arrays.
 
     px/py: u32 global pixel coordinates; frame_u: u32 frame index.
@@ -129,27 +136,28 @@ def _fused_body(cfg: ShadeConfig, px, py, frame_u, sf,
         rcp = lambda x: pl.reciprocal(x, approx=True)
     else:
         rcp = lambda x: 1.0 / x
+    gat = _g1 if xla else lane_gather
 
     # --- light-table gather: one lane shuffle per field (R=1), or R
     # shuffles + selects (K > 128) ---
     def lgf(row, slot):
         if R == 1:
-            return lane_gather(lf[row, :], jnp.clip(slot, 0, LANES - 1))
+            return gat(lf[row, :], jnp.clip(slot, 0, LANES - 1))
         hi = slot >> 7
         lo = slot & (LANES - 1)
         acc = jnp.zeros(slot.shape, jnp.float32)
         for h in range(R):
-            acc = jnp.where(hi == h, lane_gather(lf[row * R + h, :], lo), acc)
+            acc = jnp.where(hi == h, gat(lf[row * R + h, :], lo), acc)
         return acc
 
     def lgi(row, slot):
         if R == 1:
-            return lane_gather(li[row, :], jnp.clip(slot, 0, LANES - 1))
+            return gat(li[row, :], jnp.clip(slot, 0, LANES - 1))
         hi = slot >> 7
         lo = slot & (LANES - 1)
         acc = jnp.zeros(slot.shape, jnp.int32)
         for h in range(R):
-            acc = jnp.where(hi == h, lane_gather(li[row * R + h, :], lo), acc)
+            acc = jnp.where(hi == h, gat(li[row * R + h, :], lo), acc)
         return acc
 
     # --- RNG: ops/rng.RandState formulas, dims statically unrolled ---
@@ -161,7 +169,10 @@ def _fused_body(cfg: ShadeConfig, px, py, frame_u, sf,
         dim = dim_counter[0]
         dim_counter[0] = dim + 1
         bits = rng.pcg_hash(base ^ (jnp.uint32(dim) * jnp.uint32(26699)))
-        stride = rng._PHI2_X_U32 if dim % 2 == 0 else rng._PHI2_Y_U32
+        # NOTE: construct the stride INSIDE the traced body — module-level
+        # jnp scalars are closed-over constants, which pallas_call rejects
+        stride = jnp.uint32(rng.PHI2_X_BITS if dim % 2 == 0
+                            else rng.PHI2_Y_BITS)
         return rng.to_unit_float(bits + frame_u * stride)
 
     # --- streaming RIS state (pathtracer._nee_ris role) ---
@@ -266,10 +277,10 @@ def _fused_body(cfg: ShadeConfig, px, py, frame_u, sf,
     un = u1 * env_n
     col = jnp.clip(un.astype(jnp.int32), 0, env_n - 1)
     frac = un - col.astype(jnp.float32)
-    pr = lane_gather(envf[0, :], col)
-    al = lane_gather(envi[0, :], col)
+    pr = gat(envf[0, :], col)
+    al = gat(envi[0, :], col)
     texel = jnp.where(frac < pr, col, al)
-    pmf = lane_gather(envf[1, :], texel)
+    pmf = gat(envf[1, :], texel)
     iu = (texel % sky_mod.ENV_W).astype(jnp.float32)
     iv = (texel // sky_mod.ENV_W).astype(jnp.float32)
     phi = (2.0 * jnp.pi) * (iu + u2) * (1.0 / sky_mod.ENV_W)
@@ -425,7 +436,9 @@ def _make_kernel(cfg: ShadeConfig, tile_r: int):
         py = (i * tile_r + row + si[1]).astype(jnp.uint32)
         frame_u = si[0].astype(jnp.uint32)
 
-        out = _fused_body(cfg, px, py, frame_u, sf[:],
+        # sf stays a Ref: SMEM only supports scalar loads, and the body
+        # indexes it element-wise (sf[SF_*]) which works on Ref and array
+        out = _fused_body(cfg, px, py, frame_u, sf,
                           p, n, wo, alb, rough, metal, trans,
                           depth, taps, lf[:], li[:], envf[:], envi[:])
         for ref, v in zip(outs, _flatten_out(out)):
@@ -502,6 +515,16 @@ def pack_light_tables(lights, light_remap) -> tuple:
     ], axis=0)
     remap = light_remap if light_remap is not None \
         else jnp.arange(K, dtype=jnp.int32)
+    # the remap is sized to the PREVIOUS frame's table (its domain is stored
+    # prev-frame slot ids); normalize to K rows for the kernel layout —
+    # identity-extend when the table grew (new slots have no prev-frame
+    # reservoirs), truncate when it shrank (the kernel clips pslot to K-1)
+    rlen = remap.shape[0]
+    if rlen < K:
+        remap = jnp.concatenate(
+            [remap, jnp.arange(rlen, K, dtype=jnp.int32)])
+    elif rlen > K:
+        remap = remap[:K]
     li = jnp.concatenate([
         prow(lights.alias, jnp.int32),
         prow(lights.ent, jnp.int32),
@@ -547,7 +570,7 @@ def fused_shade(cfg: ShadeConfig, frame_idx, y0, sf, lf, li, envf, envi,
         py = jnp.broadcast_to(yy, shape).astype(jnp.uint32)
         return _fused_body(cfg, px, py, jnp.asarray(frame_idx, jnp.uint32),
                            sf, p, n, wo, alb, rough, metal, trans,
-                           depth, list(taps), lf, li, envf, envi)
+                           depth, list(taps), lf, li, envf, envi, xla=True)
 
     Hp = H + (-H) % 8
     Wp = W + (-W) % LANES
