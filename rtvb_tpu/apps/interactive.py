@@ -41,12 +41,70 @@ STATE_NAMES = {MAIN_MENU: "MainMenu", NEW_GAME: "NewGame",
 
 class GameUI:
     """Headless UI state machine (GameUIManager role): menu → world select /
-    create → gameplay; drives world lifecycle hooks."""
+    create → gameplay; drives world lifecycle hooks.
+
+    Navigation (GameUIManager.cpp:698-788 GLFW event routing role): a
+    cursor over the current state's item list, driven by InputState
+    menu_up/menu_down/menu_select/menu_back — so every transition the
+    programmatic `menu_action` API offers is reachable from the keyboard."""
 
     def __init__(self, store: WorldStore):
         self.state = MAIN_MENU
         self.store = store
         self.selected_world: str | None = None
+        self.cursor = 0
+        self.quit_requested = False
+
+    # ---- keyboard navigation -------------------------------------------
+
+    def menu_items(self) -> list[tuple[str, str, str | None]]:
+        """(label, action, world) rows for the current state's screen."""
+        if self.state == MAIN_MENU:
+            items = []
+            if self.store.last_world():
+                items.append(("CONTINUE", "continue", None))
+            items += [("NEW GAME", "new", None), ("LOAD GAME", "load", None),
+                      ("QUIT", "quit", None)]
+            return items
+        if self.state == NEW_GAME:
+            return [("CREATE", "select", None), ("BACK", "back", None)]
+        if self.state == LOAD_GAME:
+            worlds = self.store.list_worlds()
+            return [(w.upper(), "select", w) for w in worlds] + \
+                [("BACK", "back", None)]
+        return []
+
+    def navigate(self, delta: int) -> None:
+        n = len(self.menu_items())
+        if n:
+            self.cursor = (self.cursor + delta) % n
+
+    def activate(self):
+        """Trigger the item under the cursor (Enter).  Returns the new
+        state; sets quit_requested for the QUIT item."""
+        items = self.menu_items()
+        if not items:
+            return self.state
+        label, action, world = items[min(self.cursor, len(items) - 1)]
+        if action == "quit":
+            self.quit_requested = True
+            return self.state
+        if self.state == NEW_GAME and action == "select":
+            world = world or "default"
+        prev = self.state
+        out = self.menu_action(action, world)
+        if out != prev:
+            self.cursor = 0
+        return out
+
+    def back(self):
+        """Escape: back out of submenus, or open the menu from gameplay."""
+        prev = self.state
+        out = self.menu_action("back" if self.state in (NEW_GAME, LOAD_GAME)
+                               else "menu")
+        if out != prev:
+            self.cursor = 0
+        return out
 
     def menu_action(self, action: str, world_name: str | None = None):
         if self.state == MAIN_MENU:
@@ -135,6 +193,8 @@ class StdinInputSource:
       x        left click (dig)     b    right click (place)
       1-9      select block id      c    toggle camera mode
       F3       toggle dev panel     F5/F9 save/load world    quit exit
+      up/down/enter/esc   menu navigation (GameUI cursor)
+      n        dev panel: next field    +/-   adjust selected field
     """
 
     def __init__(self, stream=None):
@@ -201,6 +261,20 @@ class StdinInputSource:
                     inp.load_world = True
                 elif tok == "quit":
                     inp.quit = True
+                elif tok == "up":
+                    inp.menu_up = True
+                elif tok == "down":
+                    inp.menu_down = True
+                elif tok == "enter":
+                    inp.menu_select = True
+                elif tok == "esc":
+                    inp.menu_back = True
+                elif tok == "n":
+                    inp.dev_next_field = True
+                elif tok == "+":
+                    inp.dev_adjust = 1
+                elif tok == "-":
+                    inp.dev_adjust = -1
                 elif tok.isdigit():
                     self.selected = int(tok)
                     inp.selected_block = self.selected
@@ -264,12 +338,18 @@ class InteractiveApp:
     presenter: Presenter
     store: WorldStore
     max_frames: int | None = None
+    # True: jump straight into gameplay (benchmarks / scripted flythroughs,
+    # the mainOffline-style drivers).  False: boot into MainMenu and let
+    # InputState menu events drive the GameUI state machine — the
+    # GameUIManager.cpp:698-788 interactive path.
+    auto_start: bool = True
 
     def run(self, input_source=None):
         eng = Engine(settings=self.settings, scene=self.scene)
         ui = GameUI(self.store)
-        ui.menu_action("new")
-        ui.menu_action("select", "default")
+        if self.auto_start:
+            ui.menu_action("new")
+            ui.menu_action("select", "default")
         character = Character(cfg_world=eng.cfg,
                               move=self.settings.character_movement)
         character._update_pose()
@@ -291,12 +371,44 @@ class InteractiveApp:
         canvas = ui_gfx.OverlayCanvas(eng.out_height, eng.out_width)
         dev_panel = False
         ui_drawn_state = None
+        dev_field = 0     # dev-panel selected settings field (reflection idx)
         frame = 0
         while self.max_frames is None or frame < self.max_frames:
             dt = timer.tick()
             inp = input_source(frame) if input_source else InputState()
-            if inp.quit:
+            if inp.quit or ui.quit_requested:
                 break
+            in_menu = ui.state != GAMEPLAY
+            if in_menu:
+                # menu navigation (GameUIManager key routing role); movement
+                # and edit input never reaches gameplay while a menu is up
+                if inp.menu_up:
+                    ui.navigate(-1)
+                if inp.menu_down:
+                    ui.navigate(1)
+                if inp.menu_select:
+                    ui.activate()
+                if inp.menu_back:
+                    ui.back()
+                ui_drawn_state = None if (inp.menu_up or inp.menu_down
+                                          or inp.menu_select or inp.menu_back) \
+                    else ui_drawn_state
+                inp = InputState(selected_block=inp.selected_block)
+            elif inp.menu_back:
+                ui.back()        # Escape in gameplay opens the main menu
+                ui_drawn_state = None
+            if dev_panel and (inp.dev_next_field or inp.dev_adjust):
+                # live settings editing (DeveloperGUIOverlay sliders role):
+                # +/- applies Settings.adjust to the selected field and the
+                # engine recompiles-on-change (frozen-dataclass design)
+                rows = self.settings.value_list()
+                if inp.dev_next_field:
+                    dev_field = (dev_field + 1) % len(rows)
+                if inp.dev_adjust:
+                    self.settings = self.settings.adjust(
+                        rows[dev_field][0], inp.dev_adjust)
+                    eng.apply_settings(self.settings)
+                ui_drawn_state = None
             perf.begin_frame()
             with perf.segment("scenePrep"):
                 pose = handler.update(pose, inp, dt, character)
@@ -343,19 +455,22 @@ class InteractiveApp:
                 dev_panel = not dev_panel
                 ui_drawn_state = None
             state_name = STATE_NAMES[ui.state]
-            ui_key = (state_name, dev_panel,
+            ui_key = (state_name, dev_panel, ui.cursor, dev_field,
                       frame // 15 if dev_panel else 0)
             if ui_key != ui_drawn_state:
                 if state_name != "Gameplay":
                     ui_gfx.render_menu(canvas, state_name,
-                                       self.store.list_worlds())
+                                       self.store.list_worlds(),
+                                       selected=ui.cursor,
+                                       items=[r[0] for r in ui.menu_items()])
                 elif dev_panel:
                     ui_gfx.render_dev_panel(canvas, self.settings, {
                         "fps": timer.fps, "frame_ms": render_ms,
                         "internal": (eng.width, eng.height),
                         "output": (eng.out_width, eng.out_height),
                         "cam": tuple(map(float, pose.pos)),
-                        "yaw": float(pose.yaw), "pitch": float(pose.pitch)})
+                        "yaw": float(pose.yaw), "pitch": float(pose.pitch)},
+                        selected=dev_field)
                 else:
                     canvas.clear()
                 eng.set_ui_overlay(canvas.buf)
@@ -396,7 +511,11 @@ def main(argv=None):
 
     app = InteractiveApp(settings=settings, scene=SceneConfig(),
                          presenter=presenter, store=WorldStore(args.worlds_dir),
-                         max_frames=None if args.stdin_input else args.frames)
+                         max_frames=None if args.stdin_input else args.frames,
+                         # keyboard sessions boot into the MainMenu and
+                         # navigate with up/down/enter/esc; scripted
+                         # flythroughs jump straight to gameplay
+                         auto_start=not args.stdin_input)
     perf = app.run(source)
     print("[interactive]", perf.summary_row("flythrough"))
     return 0

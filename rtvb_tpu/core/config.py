@@ -48,7 +48,11 @@ class RenderingSettings:
     # ingestion path and quantifies the cost (docs/PROFILE.md).
     authored_textures: bool = False
     entity_shadows: bool = True         # entities block NEE visibility rays
-    entity_in_bounces: bool = False     # entities visible in indirect bounces
+    # entities visible in indirect bounces (reflections / GI): ON to match
+    # the reference's IAS covering ALL geometry for ALL ray types
+    # (OptixRenderer.cpp:1369-1529); affordable since ops/tri_kernel's
+    # AABB-culled SMEM sweep (~1 ms clustered at 1080p, docs/PROFILE.md)
+    entity_in_bounces: bool = True
     # per-bounce direct lighting + BSDF continuation as ONE fused kernel
     # (render/ris_kernel.py) instead of the in-line XLA composition — the
     # XLA shading fusions were measured VPU-op-bound at ~23 ms/frame
@@ -227,3 +231,24 @@ class Settings:
             for f in fields(group):
                 out.append((f"{key}.{f.name}", getattr(group, f.name)))
         return out
+
+    def adjust(self, flat_name: str, direction: int) -> "Settings":
+        """Live-edit one reflected field by ±1 step (the dev panel's
+        slider role, DeveloperGUIOverlay.cpp:33-90): bools toggle, ints
+        step by 1 (floored at 0), floats scale by 1.25× per step (or seed
+        at ±0.1 from zero).  String fields are left unchanged — they cycle
+        through domain-specific values the panel doesn't know."""
+        group, field_name = flat_name.split(".", 1)
+        val = getattr(getattr(self, group), field_name)
+        if isinstance(val, bool):
+            new: Any = (not val) if direction else val
+        elif isinstance(val, int):
+            new = max(0, val + direction)
+        elif isinstance(val, float):
+            if val == 0.0:
+                new = 0.1 * direction
+            else:
+                new = val * (1.25 ** direction)
+        else:
+            return self
+        return self.replace(**{group: {field_name: new}})

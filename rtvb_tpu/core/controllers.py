@@ -35,6 +35,14 @@ class InputState:
     save_world: bool = False
     load_world: bool = False
     quit: bool = False
+    # menu navigation (GameUIManager.cpp:698-788 key routing role)
+    menu_up: bool = False
+    menu_down: bool = False
+    menu_select: bool = False        # Enter
+    menu_back: bool = False          # Escape
+    # dev-panel live editing (DeveloperGUIOverlay.cpp:33-90 sliders role)
+    dev_next_field: bool = False     # cycle the selected settings field
+    dev_adjust: int = 0              # -1 / +1 applied to the selected field
 
 
 @dataclass

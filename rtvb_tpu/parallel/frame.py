@@ -94,6 +94,10 @@ def sharded_frame_fn(eng, mesh: Mesh, axis: str = "dp"):
     out_h, out_w = eng.out_height, eng.out_width
     use_pallas = eng.backend == "pallas" or (
         eng.backend == "auto" and jax.default_backend() == "tpu")
+    # same estimator selection as Engine._frame_fn: band parity vs the
+    # unsharded frame requires the identical shading path
+    shade_backend = (("pallas" if use_pallas else "xla")
+                     if rs_cfg.fused_shading else None)
     if use_pallas:
         from ..ops import trace_kernel
 
@@ -115,7 +119,8 @@ def sharded_frame_fn(eng, mesh: Mesh, axis: str = "dp"):
             cfg, world, mats, lights, sky_state, cam, hist_cam,
             frame_idx, W, H, rs_cfg, trace_fn, y0=y0e, rows=ext,
             prev_restir=prev_restir if use_restir else None,
-            light_remap=light_remap, entities=ent)
+            light_remap=light_remap, entities=ent,
+            shade_backend=shade_backend)
         rgb_ext, new_dstate = _denoise_jit(g, dstate, dn_cfg)
 
         crop = idx * rows - y0e

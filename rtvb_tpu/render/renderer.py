@@ -119,18 +119,25 @@ class Engine:
             if _os.path.exists(blocks_yaml) else BlockRegistry.builtin()
         self.material_registry = MaterialRegistry.from_yaml(mats_yaml) \
             if _os.path.exists(mats_yaml) else MaterialRegistry()
-        # authored image textures (TextureManager.cu role): load the PNG
-        # atlas only when the renderer opts in — procedural is the default
+        # authored image textures (TextureManager.cu role): terrain material
+        # textures load only when the renderer opts in (procedural is the
+        # shipping default); ENTITY textures named by the model registry
+        # (models.yaml image: fields — character skin) always load, so the
+        # character renders textured in every mode (GLTFUtils texture role)
         self.texture_atlas = None
         self.texture_atlas_names: tuple = ()
+        from ..assets import image_textures
+        from ..assets import decorations as _deco
+        tex_dir = _os.path.join(_os.path.dirname(__file__), "..", "..",
+                                "data", "textures")
+        wanted = sorted({e.get("image")
+                         for e in _deco.registry().entries.values()
+                         if e.get("image")})
         if self.settings.rendering.authored_textures:
-            from ..assets import image_textures
-            tex_dir = _os.path.join(_os.path.dirname(__file__), "..", "..",
-                                    "data", "textures")
-            wanted = sorted({m.image for m in self.material_registry.materials
-                             if m.image is not None})
-            self.texture_atlas, self.texture_atlas_names = \
-                image_textures.load_atlas(tex_dir, wanted)
+            wanted += sorted({m.image for m in self.material_registry.materials
+                              if m.image is not None and m.image not in wanted})
+        self.texture_atlas, self.texture_atlas_names = \
+            image_textures.load_atlas(tex_dir, wanted)
         image_names = ({n: i for i, n in enumerate(self.texture_atlas_names)}
                        if self.texture_atlas is not None else None)
         self.materials = self.material_registry.build_table(
@@ -209,6 +216,36 @@ class Engine:
         self._accum = None
         self._accum_n = 0
 
+    def apply_settings(self, settings) -> None:
+        """Live settings swap — the dev panel's edit path
+        (DeveloperGUIOverlay.cpp:33-90 sliders + GlobalSettings reflection).
+        Settings are static under jit by design, so an edit clears the
+        compiled-pipeline cache (recompile-on-change, cached per value via
+        the persistent compile cache); temporal state resets where the
+        estimator changed shape; sky-group edits rebuild the sky tables
+        through set_sky (which also invalidates cached reservoir radiance)."""
+        old = self.settings
+        if settings == old:
+            return
+        self.settings = settings
+        self._compiled.clear()
+        if settings.sky != old.sky:
+            import dataclasses as _dc
+            self.set_sky(**{f.name: getattr(settings.sky, f.name)
+                            for f in _dc.fields(settings.sky)
+                            if getattr(settings.sky, f.name)
+                            != getattr(old.sky, f.name)})
+        if settings.rendering != old.rendering:
+            self.restir_state = None
+        if settings.denoising != old.denoising:
+            self.denoiser_state = None
+        if (settings.rendering.render_width != old.rendering.render_width
+                or settings.rendering.render_height
+                != old.rendering.render_height):
+            self.out_width = settings.rendering.render_width
+            self.out_height = settings.rendering.render_height
+            self.set_render_scale(self.render_scale)
+
     # ------------------------------------------------------------------
     # entity / decoration triangle soup
     # ------------------------------------------------------------------
@@ -239,7 +276,7 @@ class Engine:
             if len(pos) == 0:
                 continue
             base_mat = self.material_registry.index_of(
-                deco.BASE_MATERIALS.get(b.name, b.material))
+                deco.base_material(b.name, b.material))
             light_mat = self.material_registry.index_of(b.material)
             for (x, y, z) in pos:
                 v0, v1, v2, is_light = deco.decoration_triangles(
@@ -336,10 +373,12 @@ class Engine:
             t_max *= 2
         pad = t_max - n_tris
 
-        # per-triangle material / light-slot metadata: static per scene
+        # per-triangle material / light-slot / texture metadata: static per
+        # scene (UVs are per-VERTEX attributes invariant under skinning)
         meta_key = (self._decor_epoch, tuple(id(e) for e in self.entities),
                     t_max)
         if self._entity_meta is None or self._entity_meta[0] != meta_key:
+            img_slots = {n: i for i, n in enumerate(self.texture_atlas_names)}
             mat = np.concatenate(
                 [dmat] + [np.full(e.mesh.n_triangles,
                                   self.material_registry.index_of(e.material),
@@ -349,7 +388,26 @@ class Engine:
                 [dslot] + [np.full(e.mesh.n_triangles, -1, np.int32)
                            for e in self.entities]
                 + [np.full(pad, -1, np.int32)])
-            self._entity_meta = (meta_key, jnp.asarray(mat), jnp.asarray(slot))
+            uv_parts = [np.zeros((len(dmat), 6), np.float32)]
+            img_parts = [np.full(len(dmat), -1, np.int32)]
+            for e in self.entities:
+                muv = e.mesh.uvs
+                idx = e.mesh.indices
+                if muv is not None:
+                    uv_parts.append(np.concatenate(
+                        [muv[idx[:, 0]], muv[idx[:, 1]], muv[idx[:, 2]]],
+                        axis=-1).astype(np.float32))
+                else:
+                    uv_parts.append(
+                        np.zeros((e.mesh.n_triangles, 6), np.float32))
+                img_parts.append(np.full(
+                    e.mesh.n_triangles,
+                    img_slots.get(e.image, -1), np.int32))
+            uv_parts.append(np.zeros((pad, 6), np.float32))
+            img_parts.append(np.full(pad, -1, np.int32))
+            self._entity_meta = (meta_key, jnp.asarray(mat), jnp.asarray(slot),
+                                 jnp.asarray(np.concatenate(uv_parts)),
+                                 jnp.asarray(np.concatenate(img_parts)))
 
         decor = self._decor_geo()
         if not self.entities:
@@ -362,7 +420,9 @@ class Engine:
                 prev_v1=jnp.concatenate([decor["v1"], z3]),
                 prev_v2=jnp.concatenate([decor["v2"], z3]),
                 mat_index=self._entity_meta[1],
-                light_slot=self._entity_meta[2])
+                light_slot=self._entity_meta[2],
+                uvs=self._entity_meta[3],
+                image_id=self._entity_meta[4])
             return self._entity_cache
 
         statics, mats, prevs = [], [], []
@@ -378,7 +438,8 @@ class Engine:
         return pathtracer.EntityBuffers(
             tri_packed=packed, normals=nrm,
             prev_v0=pv0, prev_v1=pv1, prev_v2=pv2,
-            mat_index=self._entity_meta[1], light_slot=self._entity_meta[2])
+            mat_index=self._entity_meta[1], light_slot=self._entity_meta[2],
+            uvs=self._entity_meta[3], image_id=self._entity_meta[4])
 
     # ------------------------------------------------------------------
     # compiled pipelines

@@ -23,10 +23,15 @@ DIM = (150, 160, 175, 255)
 
 
 def render_menu(canvas: OverlayCanvas, state_name: str,
-                worlds: list[str], selected: int = 0) -> None:
+                worlds: list[str], selected: int = 0,
+                items: list[str] | None = None) -> None:
     """Raster the menu screen for a GameUI state (main_menu.rml /
     new_game.rml / load_game.rml role).  Gameplay state draws nothing —
-    callers overlay the dev panel / HUD instead."""
+    callers overlay the dev panel / HUD instead.
+
+    items: the live item labels (GameUI.menu_items) — rendering the same
+    list the cursor navigates keeps the highlight truthful; falls back to
+    a static per-state list for standalone callers."""
     canvas.clear()
     if state_name == "Gameplay":
         return
@@ -37,16 +42,17 @@ def render_menu(canvas: OverlayCanvas, state_name: str,
     canvas.text_center(W // 2, py + 10, "RTVB", ACCENT, scale=2)
     canvas.text_center(W // 2, py + 28, "VOXEL PATH TRACER", DIM)
 
-    if state_name == "MainMenu":
-        items = ["NEW GAME", "LOAD GAME", "QUIT"]
-    elif state_name == "NewGame":
-        items = ["WORLD: " + (worlds[selected] if worlds else "DEFAULT"),
-                 "CREATE", "BACK"]
-    elif state_name == "LoadGame":
-        items = [w.upper() for w in worlds] or ["(NO SAVED WORLDS)"]
-        items.append("BACK")
-    else:
-        items = []
+    if items is None:
+        if state_name == "MainMenu":
+            items = ["NEW GAME", "LOAD GAME", "QUIT"]
+        elif state_name == "NewGame":
+            items = ["WORLD: " + (worlds[selected] if worlds else "DEFAULT"),
+                     "CREATE", "BACK"]
+        elif state_name == "LoadGame":
+            items = [w.upper() for w in worlds] or ["(NO SAVED WORLDS)"]
+            items.append("BACK")
+        else:
+            items = []
     y = py + 46
     for i, item in enumerate(items):
         color = ACCENT if i == selected else TEXT
@@ -55,13 +61,16 @@ def render_menu(canvas: OverlayCanvas, state_name: str,
         y += 12
 
 
-def render_dev_panel(canvas: OverlayCanvas, settings, stats: dict) -> None:
+def render_dev_panel(canvas: OverlayCanvas, settings, stats: dict,
+                     selected: int | None = None) -> None:
     """Raster the developer panel (DeveloperGUIOverlay.cpp:33-90 role):
     live FPS / resolution / camera readouts on top, then the reflection
     walk over every settings group with value bars for numeric params.
 
     stats: {"fps": float, "frame_ms": float, "internal": (w, h),
             "output": (w, h), "cam": (x, y, z), "yaw": f, "pitch": f}
+    selected: reflection index of the field under the edit cursor (the
+    live-editing path highlights it; None renders read-only).
     """
     canvas.clear()
     H, W = canvas.buf.shape[:2]
@@ -85,12 +94,20 @@ def render_dev_panel(canvas: OverlayCanvas, settings, stats: dict) -> None:
                        f"PITCH {stats.get('pitch', 0.0):6.2f}", TEXT)
     y += 12
 
-    # reflection walk (GetValueList role): numeric params get a value bar
-    for name, value in rows:
+    # reflection walk (GetValueList role): numeric params get a value bar;
+    # the edit cursor's row gets a '>' marker in the accent color, and the
+    # window scrolls so the cursor stays visible
+    fit = max(1, (4 + ph - 4 - y) // 9)
+    start = 0
+    if selected is not None and selected >= start + fit - 1:
+        start = selected - fit + 2
+    for i, (name, value) in list(enumerate(rows))[start:]:
         if y + 9 > 4 + ph - 4:
             canvas.text(10, y, "...", DIM)
             break
         label = name.upper()
+        if selected is not None and i == selected:
+            canvas.text(4, y, ">", ACCENT)
         if isinstance(value, bool):
             canvas.text(10, y, f"{label[:30]:30s} {'ON' if value else 'OFF'}",
                         ACCENT if value else DIM)

@@ -97,6 +97,90 @@ def test_sharded_render_band_equals_unsharded():
 
 
 @needs_8
+def test_sharded_full_frame_matches_unsharded_3_frames():
+    """The REAL sharded product frame (PT + temporal ReSTIR + denoiser +
+    post, parallel/frame.py) vs the unsharded Engine frame fn, across 3
+    frames of temporal-state flow — two static, then one with camera motion.
+
+    Asserts the halo-recompute claim (parallel/frame.py docstring): every
+    device's OWN rows of the accumulated radiance (denoiser slow history)
+    and the reservoir M-planes equal the monolithic frame, and the final
+    post-processed u8 image matches exactly (post runs on the gathered
+    frame, which is identical if the bands are)."""
+    from rtvb_tpu.core.config import Settings
+    from rtvb_tpu.core.camera import make_camera
+    from rtvb_tpu.ops.pack import unpack2
+    from rtvb_tpu.parallel.frame import (band_layout, initial_sharded_state,
+                                         sharded_frame_fn)
+    from rtvb_tpu.render.denoiser import initial_denoiser_state
+    from rtvb_tpu.render.postprocess import initial_post_state
+    from rtvb_tpu.render import restir as restir_mod
+    from rtvb_tpu.render.renderer import Engine
+
+    H = W = 64
+    n = 8
+    # smaller à-trous pyramid keeps the halo (and compile time) modest while
+    # exercising every pass
+    settings = Settings().replace(
+        rendering={"render_width": W, "render_height": H},
+        denoising={"atrous_iterations": 2})
+    eng = Engine(settings=settings, width=W, height=H, backend="xla")
+    rows, ext, halo = band_layout(H, n, eng.settings.denoising)
+    ent = eng.entity_buffers()
+    cam = eng.camera
+    cam2 = make_camera(pos=(float(cam.pos_x) + 0.05, float(cam.pos_y),
+                            float(cam.pos_z)),
+                       yaw=float(cam.yaw) + 0.01, pitch=float(cam.pitch),
+                       fov_y_degrees=60.0, aspect=W / H)
+    frames = [(cam, cam, 0), (cam, cam, 1), (cam2, cam, 2)]
+
+    # --- monolithic ---
+    mono = eng._frame_fn()
+    m_restir = restir_mod.initial_state(H, W)
+    m_dstate = initial_denoiser_state(H, W)
+    m_pstate = initial_post_state()
+    for c, hc, fi in frames:
+        m_out, m_restir, m_dstate, m_pstate = mono(
+            eng.world, eng.materials, eng.lights, eng.sky_state, c, hc,
+            jnp.int32(fi), m_restir, eng._light_remap, m_dstate, m_pstate,
+            jnp.float32(1 / 60), ent)
+
+    # --- sharded ---
+    mesh = make_mesh(n)
+    step, _ = sharded_frame_fn(eng, mesh)
+    s_restir, s_dstate = initial_sharded_state(eng, n)
+    s_pstate = initial_post_state()
+    for c, hc, fi in frames:
+        s_out, s_restir, s_dstate, s_pstate = step(
+            eng.world, eng.materials, eng.lights, eng.sky_state, c, hc,
+            jnp.int32(fi), s_restir, eng._light_remap, s_dstate, s_pstate,
+            jnp.float32(1 / 60), ent)
+
+    def own_rows(arr_ext, plane_axis):
+        """Gather each band's own rows from the (n·ext)-row sharded array."""
+        a = np.asarray(arr_ext)
+        bands = []
+        for b in range(n):
+            y0e = min(max(b * rows - halo, 0), H - ext)
+            crop = b * rows - y0e
+            sl = [slice(None)] * a.ndim
+            sl[plane_axis] = slice(b * ext + crop, b * ext + crop + rows)
+            bands.append(a[tuple(sl)])
+        return np.concatenate(bands, axis=plane_axis)
+
+    # final image: exact match (u8 quantization absorbs float noise)
+    np.testing.assert_array_equal(np.asarray(s_out), np.asarray(m_out))
+    # accumulated radiance (denoiser slow history): own rows ≈ monolithic
+    np.testing.assert_allclose(own_rows(s_dstate.slow, 0),
+                               np.asarray(m_dstate.slow),
+                               rtol=1e-4, atol=1e-5)
+    # reservoir M-plane: own rows == monolithic
+    sM, _ = unpack2(jnp.asarray(own_rows(s_restir.data, 1)[4]))
+    mM, _ = unpack2(m_restir.data[4])
+    np.testing.assert_allclose(np.asarray(sM), np.asarray(mM), atol=1e-3)
+
+
+@needs_8
 def test_dryrun_multichip_entrypoint():
     """The driver-facing entry must run on virtual CPU devices end to end."""
     import importlib.util
