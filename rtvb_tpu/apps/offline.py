@@ -49,6 +49,11 @@ def build_argparser():
                     help="scripted: 20 block deletions across the run")
     ap.add_argument("--test-remove-circle", action="store_true",
                     help="scripted: 8 camera directions x 5 deletions")
+    ap.add_argument("--authored", action="store_true",
+                    help="render with authored PBR textures "
+                         "(rendering.authored_textures=True; pair with "
+                         "--canonical data/canonical/canonical_authored.png "
+                         "for the authored-canonical gate)")
     ap.add_argument("--realtime", action="store_true",
                     help="use the 1spp+denoiser path instead of accumulation")
     ap.add_argument("--save-all", action="store_true", help="save every frame")
@@ -102,8 +107,10 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
 
     settings = Settings.load(args.settings) if args.settings else Settings()
-    settings = settings.replace(rendering={
-        "render_width": args.width, "render_height": args.height})
+    rend = {"render_width": args.width, "render_height": args.height}
+    if args.authored:
+        rend["authored_textures"] = True
+    settings = settings.replace(rendering=rend)
     scene = SceneConfig.load(args.scene) if args.scene else SceneConfig()
 
     engine = Engine(settings=settings, scene=scene,

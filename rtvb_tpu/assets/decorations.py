@@ -102,56 +102,109 @@ def torch_light_mesh():
     return _box((0.42, 0.7, 0.42), (0.58, 0.88, 0.58))
 
 
-# name → (base mesh fn | None, base material override | None)
-DECORATION_MESHES = {
+# procedural mesh ids referenced by data/assets/models.yaml `mesh:` /
+# `light_mesh:` fields
+PROCEDURAL_MESHES = {
     "flower": flower_mesh,
     "torch": torch_mesh,
     "lantern": lantern_mesh,
+    "lantern_light": lantern_light_mesh,
+    "torch_light": torch_light_mesh,
 }
 
-_MODELS_DIR = os.path.join(os.path.dirname(__file__), "..", "..",
-                           "data", "models")
+_REPO_ROOT = os.path.join(os.path.dirname(__file__), "..", "..")
+_MODELS_DIR = os.path.join(_REPO_ROOT, "data", "models")
+_MODELS_YAML = os.path.join(_REPO_ROOT, "data", "assets", "models.yaml")
+
+# builtin registry — the fallback when data/assets/models.yaml is absent
+# (AssetRegistry's hardcoded-fallback contract)
+_BUILTIN_MODELS = {
+    "flower": {"file": "data/models/flower.obj", "mesh": "flower"},
+    "torch": {"mesh": "torch", "light_mesh": "torch_light",
+              "base_material": "plank"},
+    "lantern": {"mesh": "lantern", "light_mesh": "lantern_light",
+                "base_material": "trunk"},
+    "character": {"file": "data/models/character.glb"},
+}
+
+
+class ModelRegistry:
+    """data/assets/models.yaml — the reference's third asset YAML
+    (AssetRegistry.h:13-84 ModelDefinition role): maps decoration/entity
+    names to mesh files, procedural mesh ids, emissive sub-meshes and base
+    materials.  Assets stay data; code only interprets the table."""
+
+    def __init__(self, entries: dict | None = None):
+        self.entries = dict(_BUILTIN_MODELS if entries is None else entries)
+
+    @classmethod
+    def load_default(cls) -> "ModelRegistry":
+        if os.path.exists(_MODELS_YAML):
+            import yaml
+            with open(_MODELS_YAML) as f:
+                doc = yaml.safe_load(f) or {}
+            entries = {e["name"]: {k: v for k, v in e.items() if k != "name"}
+                       for e in doc.get("models", [])}
+            return cls(entries)
+        return cls()
+
+    def entry(self, name: str) -> dict:
+        return self.entries.get(name, {})
+
+    def base_material(self, name: str, default=None):
+        return self.entry(name).get("base_material", default)
+
+    def mesh(self, name: str):
+        """Resolve a base mesh: the registry's `file:` wins when it exists
+        (ModelManager.loadModels role); else its procedural `mesh:` id."""
+        e = self.entry(name)
+        path = e.get("file")
+        if path:
+            full = os.path.join(_REPO_ROOT, path)
+            if os.path.exists(full) and full.endswith(".obj"):
+                from .models import load_obj
+                md = load_obj(full)
+                idx = md.indices
+                return (md.positions[idx[:, 0]].astype(np.float32),
+                        md.positions[idx[:, 1]].astype(np.float32),
+                        md.positions[idx[:, 2]].astype(np.float32))
+        mid = e.get("mesh")
+        if mid in PROCEDURAL_MESHES:
+            return PROCEDURAL_MESHES[mid]()
+        return None
+
+    def light_mesh(self, name: str):
+        mid = self.entry(name).get("light_mesh")
+        return PROCEDURAL_MESHES[mid]() if mid in PROCEDURAL_MESHES else None
+
+
+_registry: ModelRegistry | None = None
 _obj_cache: dict = {}
 
 
+def registry() -> ModelRegistry:
+    global _registry
+    if _registry is None:
+        _registry = ModelRegistry.load_default()
+    return _registry
+
+
+def base_material(name: str, default=None):
+    return registry().base_material(name, default)
+
+
 def _mesh_for(name: str):
-    """Resolve a decoration's base mesh: a shipped model file
-    (data/models/<name>.obj — ModelManager.loadModels role) wins over the
-    procedural fallback."""
-    if name in _obj_cache:
-        return _obj_cache[name]
-    path = os.path.join(_MODELS_DIR, f"{name}.obj")
-    mesh = None
-    if os.path.exists(path):
-        from .models import load_obj
-        md = load_obj(path)
-        idx = md.indices
-        mesh = (md.positions[idx[:, 0]].astype(np.float32),
-                md.positions[idx[:, 1]].astype(np.float32),
-                md.positions[idx[:, 2]].astype(np.float32))
-    elif name in DECORATION_MESHES:
-        mesh = DECORATION_MESHES[name]()
-    _obj_cache[name] = mesh
-    return mesh
-
-# name → emissive light sub-mesh (joins the triangle-light table;
-# rendered with the block's emissive material)
-LIGHT_MESHES = {
-    "lantern": lantern_light_mesh,
-    "torch": torch_light_mesh,
-}
-
-# base material per decoration (None → the block's own material)
-BASE_MATERIALS = {
-    "lantern": "trunk",
-    "torch": "plank",
-}
+    if name not in _obj_cache:
+        _obj_cache[name] = registry().mesh(name)
+    return _obj_cache[name]
 
 
 def light_mesh(name: str):
     """(v0, v1, v2) of the emissive sub-mesh, or None."""
-    fn = LIGHT_MESHES.get(name)
-    return fn() if fn else None
+    key = ("light", name)
+    if key not in _obj_cache:
+        _obj_cache[key] = registry().light_mesh(name)
+    return _obj_cache[key]
 
 
 def decoration_triangles(name: str, positions: np.ndarray,

@@ -40,6 +40,10 @@ class MeshData:
 class Entity:
     mesh: MeshData
     material: str = "default"
+    # authored albedo texture name (data/textures/<image>.png), sampled at
+    # entity hits through the shared image_textures atlas — the reference's
+    # per-entity GLTF textures role (GLTFUtils.cpp texture loading)
+    image: str | None = None
     position: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
     yaw: float = 0.0
     scale: float = 1.0

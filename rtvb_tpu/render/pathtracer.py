@@ -64,6 +64,9 @@ class EntityBuffers(NamedTuple):
     mat_index: jnp.ndarray    # (T,) i32 material index per triangle
     light_slot: jnp.ndarray   # (T,) i32 light-table slot, -1 = not a light
                               # (instanceLightMapping role, Light.h:6-11)
+    uvs: jnp.ndarray = None       # (T, 6) per-vertex (u, v) ×3 for textured
+                                  # entities (TEXCOORD_0 role); zeros if none
+    image_id: jnp.ndarray = None  # (T,) i32 atlas slot, -1 = untextured
 
 
 class GBuffers(NamedTuple):
@@ -468,23 +471,46 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                                albedo_g=mat.albedo_g * tex,
                                albedo_b=mat.albedo_b * tex)
 
-        # authored image textures (TextureManager.cu:222-240 role): trilinear
-        # MXU atlas sample modulating albedo, primary hits only (secondary
-        # vertices keep the procedural detail — invisible at 1 spp, and the
-        # matmul sampler is the one texture cost worth bounding)
+        # authored PBR image textures (TextureManager.cu:222-240 +
+        # materials.yaml:10-13 albedo/normal/roughness maps role): one
+        # adaptive-mip kernel sample at primary hits yields albedo, a
+        # normal-map gradient and a roughness multiplier (secondary
+        # vertices keep the procedural detail — invisible at 1 spp)
+        authored = None
         if atlas is not None and bounce == 0:
             img_id = _fgmi(mats.image_id, mi)
+            u_s = u * uv_scale
+            v_s = v * uv_scale
+            if test_ent and entities.image_id is not None:
+                # textured entities (character skin): barycentric TEXCOORD_0
+                # interpolation + the entity's atlas slot replace the
+                # triplanar coords on entity pixels (GLTFUtils texture role)
+                from ..ops.gatherlib import fast_gather_multi as _fgm_uv
+                euv = _fgm_uv(tuple(entities.uvs[:, k] for k in range(6)),
+                              tidx)
+                w0e = 1.0 - th.u - th.v
+                ue = w0e * euv[0] + th.u * euv[2] + th.v * euv[4]
+                ve = w0e * euv[1] + th.u * euv[3] + th.v * euv[5]
+                from ..ops.gatherlib import fast_gather as _fg_img
+                ent_img = _fg_img(entities.image_id, tidx)
+                img_id = jnp.where(is_ent, ent_img, img_id)
+                u_s = jnp.where(is_ent, ue, u_s)
+                v_s = jnp.where(is_ent, ve, v_s)
             from ..assets import image_textures
-            img_rgb = image_textures.sample_atlas(
-                atlas, img_id, u * uv_scale, v * uv_scale, lod)
+            authored = image_textures.sample_atlas(
+                atlas, img_id, u_s, v_s, lod)
             # the image IS the albedo (the reference's textured materials
             # ignore the flat tint, TextureManager.cu + closesthit.cu:195);
             # untextured materials keep tint × procedural detail
             use_img = img_id >= 0
             mat = mat._replace(
-                albedo_r=jnp.where(use_img, img_rgb[0], mat.albedo_r),
-                albedo_g=jnp.where(use_img, img_rgb[1], mat.albedo_g),
-                albedo_b=jnp.where(use_img, img_rgb[2], mat.albedo_b))
+                albedo_r=jnp.where(use_img, authored.rgb[0], mat.albedo_r),
+                albedo_g=jnp.where(use_img, authored.rgb[1], mat.albedo_g),
+                albedo_b=jnp.where(use_img, authored.rgb[2], mat.albedo_b),
+                roughness=jnp.maximum(mat.roughness * authored.rough_mul,
+                                      min_roughness))
+        else:
+            use_img = None
 
         # procedural normal mapping at the primary hit (closesthit.cu:241-254
         # role): bend the face normal by the texture height gradient in the
@@ -496,6 +522,11 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         if bounce == 0 and rs_cfg.normal_mapping:
             du_t, dv_t = textures.sample_normal_delta(
                 tex_id, u * uv_scale, v * uv_scale, lod)
+            if authored is not None:
+                # authored normal map replaces the procedural gradient on
+                # textured pixels (closesthit.cu:241-254 sampled normals)
+                du_t = jnp.where(use_img, authored.du, du_t)
+                dv_t = jnp.where(use_img, authored.dv, dv_t)
             n_bent = textures.perturb_normal(n, du_t, dv_t)
             n = m.where3(is_ent | ~rec.hit, n, n_bent)
 
@@ -749,15 +780,19 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                 depth=g_depth, n3=n0, le=le2)
 
     # NaN scrub (RayGen.cu:175-178) + albedo demodulation
-    # (closesthit.cu:293-303), computed through ONE stacked (H, W, 3) root:
-    # with three separate per-channel roots XLA duplicated the whole
-    # channel-independent shading chain (pdf streams, reservoir math) into
-    # each channel's loop fusion — 3 x ~1.3M-cycle fusions at the 1/2 rung;
-    # a single stacked root shares it (layout {1,0,2} keeps plane tiling)
-    L3 = m.nan_scrub(jnp.stack(L, axis=-1))
-    alb3 = jnp.stack(g_albedo, axis=-1)
+    # (closesthit.cu:293-303), computed through ONE stacked root: with three
+    # separate per-channel roots XLA duplicated the whole channel-independent
+    # shading chain (pdf streams, reservoir math) into each channel's loop
+    # fusion — 3 x ~1.3M-cycle fusions at the 1/2 rung; a single stacked
+    # root shares it.  Stack on axis 0: (3, H, W) keeps each plane in the
+    # native (8,128)-tiled layout, so the per-channel re-slices below are
+    # free — the round-3 axis=-1 form gave the root layout {1,0,2} and the
+    # device trace showed three ~6 ms transposing copies per frame
+    # converting each (H, W, 1) slice back to row-major.
+    L3 = m.nan_scrub(jnp.stack(L, axis=0))
+    alb3 = jnp.stack(g_albedo, axis=0)
     illum3 = L3 / jnp.maximum(alb3, 0.01)
-    illum = tuple(illum3[..., i] for i in range(3))
+    illum = tuple(illum3[i] for i in range(3))
 
     g = GBuffers(
         illum=illum,

@@ -1,5 +1,6 @@
-"""Authored image-texture ingestion (assets/image_textures) — the
-TextureManager.cu:222-240 role: PNG → mip atlas → trilinear sampling."""
+"""Authored PBR image textures (assets/image_textures) — the
+TextureManager.cu:222-240 + materials.yaml albedo/normal/roughness role:
+PNG triples → packed stacked-mip pyramid → adaptive trilinear sampling."""
 import os
 
 import numpy as np
@@ -7,6 +8,7 @@ import jax.numpy as jnp
 import pytest
 
 from rtvb_tpu.assets import image_textures as it
+from rtvb_tpu.ops.pack import unpack2
 
 TEX_DIR = os.path.join(os.path.dirname(__file__), "..", "data", "textures")
 
@@ -21,56 +23,105 @@ def _atlas():
 def test_load_atlas_shapes():
     atlas, names = _atlas()
     t = len(names)
-    assert atlas.rows0.shape == (t * it.S0, it.S0 * 3)
-    assert atlas.rows1.shape == (t * it.S0 // 2, it.S0 // 2 * 3)
+    assert atlas.planes.shape == (3, t * it.BLOCK_ROWS, it.S0)
     assert it.atlas_count(atlas) == t
-    # linear albedo in [0, 1]
-    assert float(atlas.rows0.min()) >= 0.0
-    assert float(atlas.rows0.max()) <= 1.0
+    # linear albedo in [0, 1] (plane 0 carries r|g bf16 pairs)
+    r, g = unpack2(atlas.planes[0])
+    assert float(r.min()) >= 0.0 and float(r.max()) <= 1.0 + 1e-3
 
 
 def test_sample_matches_texels():
-    """Sampling at texel centers (no lod) returns the stored texel."""
+    """Sampling at texel centers (level 0) returns the stored texels for
+    every channel — albedo, normal deltas, roughness multiplier."""
     atlas, names = _atlas()
     t = len(names)
-    tex = np.asarray(atlas.rows0).reshape(t, it.S0, it.S0, 3)
     tid = jnp.asarray([[0, t - 1]], jnp.int32)
-    # texel (3, 5) center: u = (x + 0.5)/S
-    u = jnp.full((1, 2), (3 + 0.5) / it.S0)
-    v = jnp.full((1, 2), (5 + 0.5) / it.S0)
-    r, g, b = it.sample_atlas(atlas, tid, u, v)
-    got = np.stack([np.asarray(r)[0], np.asarray(g)[0], np.asarray(b)[0]], -1)
-    want = tex[[0, t - 1], 5, 3]          # row=y=5, col=x=3
-    assert np.allclose(got, want, atol=1e-5), (got, want)
+    x, y = 3, 5
+    u = jnp.full((1, 2), (x + 0.5) / it.S0)
+    v = jnp.full((1, 2), (y + 0.5) / it.S0)
+    out = it.sample_atlas(atlas, tid, u, v)
+    for col, ti in enumerate((0, t - 1)):
+        row = ti * it.BLOCK_ROWS + y
+        er, eg = (float(c) for c in unpack2(atlas.planes[0, row, x]))
+        eb, erg = (float(c) for c in unpack2(atlas.planes[1, row, x]))
+        edu, edv = (float(c) for c in unpack2(atlas.planes[2, row, x]))
+        got = [float(out.rgb[0][0, col]), float(out.rgb[1][0, col]),
+               float(out.rgb[2][0, col]), float(out.du[0, col]),
+               float(out.dv[0, col]), float(out.rough_mul[0, col])]
+        np.testing.assert_allclose(got, [er, eg, eb, edu, edv, erg],
+                                   atol=1e-5)
 
 
 def test_negative_id_passthrough_and_lod_blend():
     atlas, _ = _atlas()
     tid = jnp.asarray([[-1]], jnp.int32)
-    r, g, b = it.sample_atlas(atlas, tid, jnp.asarray([[0.3]]),
-                              jnp.asarray([[0.7]]), lod=jnp.asarray([[0.5]]))
-    assert float(r[0, 0]) == 1.0 and float(g[0, 0]) == 1.0
-    # far lod → level-1 values (bounded by atlas range)
+    out = it.sample_atlas(atlas, tid, jnp.asarray([[0.3]]),
+                          jnp.asarray([[0.7]]), lod=jnp.asarray([[0.5]]))
+    assert float(out.rgb[0][0, 0]) == 1.0
+    assert float(out.du[0, 0]) == 0.0
+    assert float(out.rough_mul[0, 0]) == 1.0
+    # far lod → coarse mips, values stay bounded
     tid = jnp.asarray([[0]], jnp.int32)
-    r, _, _ = it.sample_atlas(atlas, tid, jnp.asarray([[0.3]]),
-                              jnp.asarray([[0.7]]), lod=jnp.asarray([[10.0]]))
-    assert 0.0 <= float(r[0, 0]) <= 1.0
+    out = it.sample_atlas(atlas, tid, jnp.asarray([[0.3]]),
+                          jnp.asarray([[0.7]]), lod=jnp.asarray([[10.0]]))
+    assert 0.0 <= float(out.rgb[0][0, 0]) <= 1.0
 
 
-def test_mxu_and_gather_paths_agree(monkeypatch):
-    """The TPU 2-hot-matmul formulation must equal the CPU gather twin."""
-    import jax
+def test_uv_wrap_tiles():
+    """u/v outside [0,1) wrap (tiling textures): u and u+3 sample equal."""
+    atlas, _ = _atlas()
+    rng = np.random.default_rng(3)
+    tid = jnp.zeros((4, 8), jnp.int32)
+    u = jnp.asarray(rng.uniform(0, 1, (4, 8)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0, 1, (4, 8)).astype(np.float32))
+    a = it.sample_atlas(atlas, tid, u, v)
+    b = it.sample_atlas(atlas, tid, u + 3.0, v + 2.0)
+    np.testing.assert_allclose(np.asarray(a.rgb[0]), np.asarray(b.rgb[0]),
+                               atol=1e-4)
+
+
+def test_tile_level_is_finest_of_tile():
+    """A mixed-lod tile samples at the tile's FINEST requested level pair
+    (the kernel contract the twin emulates with a block-min)."""
+    atlas, _ = _atlas()
+    H, W = it.TILE_R, it.LANES
+    tid = jnp.zeros((H, W), jnp.int32)
+    u = jnp.broadcast_to(jnp.linspace(0.1, 0.9, W)[None, :], (H, W))
+    v = jnp.broadcast_to(jnp.linspace(0.1, 0.9, H)[:, None], (H, W))
+    lod_fine = jnp.zeros((H, W))
+    # one fine pixel inside an otherwise coarse tile drags the whole tile
+    # to the fine level pair
+    lod_mixed = jnp.full((H, W), 100.0).at[0, 0].set(0.0)
+    a = it.sample_atlas(atlas, tid, u, v, lod=lod_fine)
+    b = it.sample_atlas(atlas, tid, u, v, lod=lod_mixed)
+    # the fine pixel itself samples identically in both
+    assert abs(float(a.rgb[0][0, 0]) - float(b.rgb[0][0, 0])) < 1e-5
+    # the coarse pixels blend between tile levels 0 and 1 with weight 1
+    # (clamped), i.e. they sample level 1 — not level 4
+    coarse_pure = it.sample_atlas(atlas, tid, u, v,
+                                  lod=jnp.full((H, W), 2.0 / it.S0))
+    np.testing.assert_allclose(np.asarray(b.rgb[0])[4:, :],
+                               np.asarray(coarse_pure.rgb[0])[4:, :],
+                               atol=2e-2)
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_TPU"),
+                    reason="Pallas texture kernel needs hardware (RUN_TPU=1)")
+def test_pallas_kernel_matches_twin():
     atlas, names = _atlas()
     rng = np.random.default_rng(5)
-    tid = jnp.asarray(rng.integers(-1, len(names), (8, 16)), jnp.int32)
-    u = jnp.asarray(rng.uniform(0, 1, (8, 16)).astype(np.float32))
-    v = jnp.asarray(rng.uniform(0, 1, (8, 16)).astype(np.float32))
-    ref = it.sample_atlas(atlas, tid, u, v)
-    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    got = it.sample_atlas(atlas, tid, u, v)
-    for a, b in zip(ref, got):
-        # bf16 matmul operand rounding: values agree to ~3 decimals
-        assert np.allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+    H, W = 16, 256
+    tid = jnp.asarray(rng.integers(-1, len(names), (H, W)), jnp.int32)
+    u = jnp.asarray(rng.uniform(0, 2, (H, W)).astype(np.float32))
+    v = jnp.asarray(rng.uniform(0, 2, (H, W)).astype(np.float32))
+    lod = jnp.asarray((rng.uniform(0, 0.3, (H, W)) ** 2).astype(np.float32))
+    a = it.sample_atlas(atlas, tid, u, v, lod=lod, backend="xla")
+    b = it.sample_atlas(atlas, tid, u, v, lod=lod, backend="pallas")
+    for x, y in zip(it._flatten(a) if hasattr(it, "_flatten")
+                    else [*a.rgb, a.du, a.dv, a.rough_mul],
+                    [*b.rgb, b.du, b.dv, b.rough_mul]):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-4, atol=1e-4)
 
 
 def test_engine_authored_textures_end_to_end():

@@ -247,3 +247,60 @@ def test_glb_load(tmp_path):
     t, r, s = anim.evaluate(clip.device_tracks(), 0.999, clip.duration)
     # ~quarter-turn about y near t=1
     assert abs(abs(float(r[0, 1])) - 0.7071) < 0.03
+
+
+def test_model_registry_yaml_roundtrip(tmp_path):
+    """data/assets/models.yaml drives decoration meshes (AssetRegistry's
+    third asset YAML, ModelDefinition role): shipped file parses, entries
+    resolve meshes/light-meshes/base materials, builtin fallback matches."""
+    from rtvb_tpu.assets import decorations as deco
+
+    reg = deco.ModelRegistry.load_default()
+    assert "lantern" in reg.entries and "flower" in reg.entries
+    v0, v1, v2 = reg.mesh("lantern")
+    assert len(v0) == len(v1) == len(v2) > 0
+    assert reg.light_mesh("lantern") is not None
+    assert reg.base_material("lantern") == "trunk"
+    assert reg.base_material("flower", "x") == "x"
+    # a custom registry entry maps a new name onto a procedural mesh
+    custom = deco.ModelRegistry({"my_torch": {"mesh": "torch"}})
+    assert custom.mesh("my_torch")[0].shape[1] == 3
+    assert custom.light_mesh("my_torch") is None
+    # builtin fallback (no YAML) still serves every shipped decoration
+    fallback = deco.ModelRegistry()
+    for name in ("flower", "torch", "lantern"):
+        assert fallback.mesh(name) is not None
+
+
+def test_character_textured_albedo():
+    """The character entity samples its authored albedo atlas
+    (data/textures/character_albedo.png via models.yaml image:): entity
+    pixels carry multiple distinct clothing colors, not one flat material
+    (GLTFUtils texture loading / character-frozen-roses.gltf role)."""
+    import numpy as np
+    from rtvb_tpu.core.config import Settings
+    from rtvb_tpu.models.character import Character
+    from rtvb_tpu.render.renderer import Engine
+
+    s = Settings().replace(rendering={"use_restir": False,
+                                      "total_bounce_limit": 1})
+    eng = Engine(settings=s, width=96, height=96)
+    assert "character_albedo" in eng.texture_atlas_names
+    ch = Character(cfg_world=eng.cfg, move=eng.settings.character_movement)
+    assert ch.entity.image == "character_albedo"
+    ch.position = np.array([31.5, 8.0, 45.0], np.float32)
+    ch._update_pose()
+    eng.add_entity(ch.entity)
+    ent = eng.entity_buffers()
+    assert int((np.asarray(ent.image_id) >= 0).sum()) == \
+        ch.entity.mesh.n_triangles
+    # camera close-up on the character
+    eng.set_camera(pos=(33.0, 9.0, 46.0), yaw=3.8, pitch=-0.3)
+    g = eng.path_trace()
+    alb = np.stack([np.asarray(g.albedo[i]) for i in range(3)], -1)
+    depth = np.asarray(g.depth)
+    body = (depth > 0.5) & (depth < 4.0)      # character fills the close field
+    assert body.sum() > 200, body.sum()
+    cols = np.round(alb[body] * 8) / 8.0
+    uniq = np.unique(cols.reshape(-1, 3), axis=0)
+    assert len(uniq) >= 3, uniq                # shirt / skin / pants at least

@@ -134,6 +134,66 @@ def test_golden_canonical():
     assert res.verdict in ("identical", "veryClose", "close"), str(res)
 
 
+def test_golden_canonical_authored():
+    """The canonical scene rendered with authored PBR textures (albedo +
+    normal + roughness maps, rendering.authored_textures=True) vs its
+    committed golden — the TextureManager.cu/materials.yaml authored-look
+    gate the procedural default can't cover."""
+    import os
+    golden_path = os.path.join(os.path.dirname(__file__), "..", "data",
+                               "canonical", "canonical_authored.png")
+    if not os.path.exists(golden_path):
+        pytest.skip("no authored canonical golden committed")
+    s = Settings().replace(rendering={"authored_textures": True})
+    eng = Engine(settings=s, width=128, height=128)
+    out = None
+    for _ in range(8):
+        out = eng.render_accumulated()
+    golden = image.read_png(golden_path)
+    res = image_diff.compare(out, golden)
+    assert res.verdict in ("identical", "veryClose", "close"), str(res)
+    # and the authored look must genuinely differ from the procedural one
+    proc = image.read_png(os.path.join(os.path.dirname(golden_path),
+                                       "canonical_render.png"))
+    assert image_diff.compare(out, proc).verdict == "different"
+
+
+def test_golden_character_reflection():
+    """Character beside the mirror shader ball: entities must appear in
+    SECONDARY rays (entity_in_bounces default, the all-geometry IAS role of
+    OptixRenderer.cpp:1369-1529).  Gated on the committed golden, plus a
+    direct check that disabling entity_in_bounces changes the mirror."""
+    import os
+    import numpy as np
+    from rtvb_tpu.models.character import Character
+    golden_path = os.path.join(os.path.dirname(__file__), "..", "data",
+                               "canonical", "scripted",
+                               "character_reflection.png")
+    if not os.path.exists(golden_path):
+        pytest.skip("no reflection golden committed")
+
+    def render(in_bounces: bool):
+        s = Settings().replace(rendering={"entity_in_bounces": in_bounces})
+        eng = Engine(settings=s, width=128, height=128)
+        ch = Character(cfg_world=eng.cfg,
+                       move=eng.settings.character_movement)
+        ch.position = np.array([31.5, 8.0, 45.0], np.float32)
+        ch._update_pose()
+        eng.add_entity(ch.entity)
+        eng.set_camera(pos=(33.5, 8.6, 46.5), yaw=3.95, pitch=-0.25)
+        out = None
+        for _ in range(8):
+            out = eng.render_accumulated()
+        return out
+
+    on = render(True)
+    res = image_diff.compare(on, image.read_png(golden_path))
+    assert res.verdict in ("identical", "veryClose", "close"), str(res)
+    off = render(False)
+    # the character's mirror image exists only with entity_in_bounces
+    assert np.abs(np.asarray(on) - np.asarray(off)).max() > 0.05
+
+
 def test_entity_changes_image(engine):
     from rtvb_tpu.models.character import Character
     eng = Engine(settings=Settings(), width=96, height=96)

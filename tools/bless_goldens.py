@@ -97,6 +97,41 @@ def bless_flythrough():
     _report(os.path.join(CANON, "scripted", "flythrough_f16.png"), out)
 
 
+def bless_canonical_authored():
+    from rtvb_tpu.core.config import Settings
+    from rtvb_tpu.render.renderer import Engine
+    print("authored-PBR canonical 128² (8-frame accumulation)...")
+    s = Settings().replace(rendering={"authored_textures": True})
+    eng = Engine(settings=s, width=128, height=128)
+    out = None
+    for _ in range(8):
+        out = eng.render_accumulated()
+    _report(os.path.join(CANON, "canonical_authored.png"), out)
+
+
+def bless_character_reflection():
+    """Character standing beside the mirror shader ball (roughness 0 at
+    x=30 of the ball row, world/gen.py): the golden pins entities appearing
+    in SECONDARY rays (entity_in_bounces, OptixRenderer's all-geometry IAS
+    role)."""
+    from rtvb_tpu.core.config import Settings
+    from rtvb_tpu.models.character import Character
+    from rtvb_tpu.render.renderer import Engine
+    print("character-in-reflection golden (8-frame accumulation @128²)...")
+    import numpy as np
+    eng = Engine(settings=Settings(), width=128, height=128)
+    ch = Character(cfg_world=eng.cfg, move=eng.settings.character_movement)
+    # beside the mirror shader ball at (30, 7, 43)
+    ch.position = np.array([31.5, 8.0, 45.0], np.float32)
+    ch._update_pose()
+    eng.add_entity(ch.entity)
+    eng.set_camera(pos=(33.5, 8.6, 46.5), yaw=3.95, pitch=-0.25)
+    out = None
+    for _ in range(8):
+        out = eng.render_accumulated()
+    _report(os.path.join(CANON, "scripted", "character_reflection.png"), out)
+
+
 def bless_canonical_512():
     from rtvb_tpu.apps import offline
     from rtvb_tpu.utils import image
@@ -113,6 +148,8 @@ def bless_canonical_512():
 def main():
     full = "--full" in sys.argv
     bless_canonical_128()
+    bless_canonical_authored()
+    bless_character_reflection()
     bless_scripted()
     bless_flythrough()
     if full:

@@ -38,7 +38,16 @@ PARTS = [
 ]
 
 
-def cuboid(center, size):
+# UV atlas: cell (row = part index, col = face index) of a 6×6 grid over
+# data/textures/character_albedo.png — every (part, face) owns a distinct
+# texture region, so the head's front face can carry the painted face while
+# its sides stay plain skin (the per-part atlas role of the reference's
+# authored character textures, character-frozen-roses.gltf)
+N_CELLS = 6
+_INSET = 0.06    # keep bilinear taps inside the cell (no cross-cell bleed)
+
+
+def cuboid(center, size, part_idx=0):
     cx, cy, cz = center
     sx, sy, sz = (s * 0.5 for s in size)
     corners = np.array([
@@ -51,12 +60,16 @@ def cuboid(center, size):
              ((4, 0, 3, 7), (-1, 0, 0)), ((1, 5, 6, 2), (1, 0, 0)),
              ((3, 2, 6, 7), (0, 1, 0)), ((4, 5, 1, 0), (0, -1, 0))]
     pos, norm, uv, idx = [], [], [], []
-    for quad, n in faces:
+    for f, (quad, n) in enumerate(faces):
         base = len(pos)
         for j, ci in enumerate(quad):
             pos.append(corners[ci])
             norm.append(n)
-            uv.append([float(j in (1, 2)), float(j in (2, 3))])
+            fu = float(j in (1, 2))
+            fv = float(j in (2, 3))
+            fu = _INSET + fu * (1.0 - 2 * _INSET)
+            fv = _INSET + fv * (1.0 - 2 * _INSET)
+            uv.append([(f + fu) / N_CELLS, (part_idx + fv) / N_CELLS])
         idx += [[base, base + 1, base + 2], [base, base + 2, base + 3]]
     return (np.array(pos, np.float32), np.array(norm, np.float32),
             np.array(uv, np.float32), np.array(idx, np.uint32))
@@ -64,8 +77,8 @@ def cuboid(center, size):
 
 def build_mesh():
     pos, norm, uv, idx, joints = [], [], [], [], []
-    for center, size, joint in PARTS:
-        p, n, u, i = cuboid(center, size)
+    for k, (center, size, joint) in enumerate(PARTS):
+        p, n, u, i = cuboid(center, size, part_idx=k)
         idx.append(i + sum(len(x) for x in pos))
         pos.append(p)
         norm.append(n)
@@ -113,6 +126,61 @@ CLIPS = {
     "run": swing_clip(0.6, 0.9, 0.9, 0.06),
     "place": swing_clip(0.4, 1.2, 0.0, 0.0),
 }
+
+
+def author_albedo(tex_path, size=128):
+    """Paint data/textures/character_albedo.png: one 6×6 cell grid indexed
+    (part row, face col) matching cuboid()'s UV layout.  Ingested by
+    assets/image_textures.load_atlas and sampled at entity hits — the role
+    of the reference's authored character texture (GLTFUtils.cpp texture
+    loading + character-frozen-roses.gltf)."""
+    from rtvb_tpu.utils.image import write_png
+    cell = size // N_CELLS
+    img = np.zeros((size, size, 3), np.float32)
+    SHIRT = (0.18, 0.33, 0.62)
+    SHIRT_D = (0.13, 0.25, 0.50)
+    SKIN = (0.85, 0.64, 0.46)
+    HAIR = (0.22, 0.14, 0.08)
+    PANTS = (0.25, 0.26, 0.30)
+    PANTS_D = (0.18, 0.19, 0.23)
+    SHOE = (0.12, 0.10, 0.09)
+    # base color per part row (faces: -z front, +z back, -x, +x, top, bottom)
+    rows = [
+        [SHIRT] * 6,                                 # torso
+        [SKIN] * 4 + [HAIR, SKIN],                   # head (hair on top)
+        [SHIRT] * 4 + [SHIRT, SKIN],                 # arm L (skin hand)
+        [SHIRT] * 4 + [SHIRT, SKIN],                 # arm R
+        [PANTS] * 4 + [PANTS, SHOE],                 # leg L (shoe sole)
+        [PANTS] * 4 + [PANTS, SHOE],                 # leg R
+    ]
+    for r, face_cols in enumerate(rows):
+        for c, col in enumerate(face_cols):
+            img[r * cell:(r + 1) * cell, c * cell:(c + 1) * cell] = col
+    # deterministic per-texel weave/noise so flat regions read as cloth
+    gy, gx = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
+    h = ((gx * 374761393 + gy * 668265263) & 0xFFFF) / 65535.0
+    img *= (0.92 + 0.16 * h)[..., None]
+
+    def px(r, c, y0, y1, x0, x1, col):
+        img[r * cell + int(y0 * cell):r * cell + max(int(y1 * cell), 1),
+            c * cell + int(x0 * cell):c * cell + max(int(x1 * cell), 1)] = col
+
+    # head front face (row 1, col 0): hair fringe, eyes, mouth
+    px(1, 0, 0.0, 0.22, 0.0, 1.0, HAIR)
+    px(1, 0, 0.38, 0.52, 0.18, 0.38, (0.08, 0.08, 0.10))
+    px(1, 0, 0.38, 0.52, 0.62, 0.82, (0.08, 0.08, 0.10))
+    px(1, 0, 0.70, 0.80, 0.35, 0.65, (0.55, 0.30, 0.25))
+    # torso front: darker placket + 3 buttons
+    px(0, 0, 0.05, 0.95, 0.46, 0.54, SHIRT_D)
+    for b in (0.25, 0.5, 0.75):
+        px(0, 0, b, b + 0.07, 0.47, 0.53, (0.9, 0.85, 0.6))
+    # pants: side seam on ±x faces
+    for leg in (4, 5):
+        px(leg, 2, 0.0, 1.0, 0.45, 0.55, PANTS_D)
+        px(leg, 3, 0.0, 1.0, 0.45, 0.55, PANTS_D)
+    srgb = np.clip(img, 0.0, 1.0) ** (1.0 / 2.2)
+    write_png(tex_path, (srgb * 255.0 + 0.5).astype(np.uint8))
+    print(f"wrote {tex_path}")
 
 
 def main(out_path=None):
@@ -223,6 +291,8 @@ def main(out_path=None):
         f.write(struct.pack("<II", len(bin_blob), 0x004E4942))
         f.write(bin_blob)
     print(f"wrote {out_path} ({total} bytes)")
+    author_albedo(os.path.join(os.path.dirname(out_path), "..", "textures",
+                               "character_albedo.png"))
 
 
 if __name__ == "__main__":

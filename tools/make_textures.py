@@ -3,7 +3,9 @@
 The reference ships ~60 hand-authored PNG block textures
 (/root/reference/data/textures, loaded by TextureManager.cu:222-240).  This
 repo cannot copy them, so this tool *authors* a compact set in their style —
-64x64 sRGB tiling albedo maps — and commits the PNGs as data assets.  The
+128x128 sRGB tiling albedo maps plus derived `_n` (tangent normal) and
+`_r` (roughness-multiplier) planes — and commits the PNGs as data assets
+(materials.yaml:10-13 albedo/normal/roughness triple role).  The
 engine ingests them through assets/image_textures.load_atlas exactly as it
 would ingest any external texture pack dropped into data/textures/.
 
@@ -18,7 +20,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-S = 64
+S = 128
 
 
 def _hash01(ix, iy, seed):
@@ -126,17 +128,38 @@ RECIPES = {
 }
 
 
+def _derived_maps(linear):
+    """Normal + roughness planes derived from the albedo's height proxy
+    (luminance): wrapped central-difference gradient -> RG tangent normal;
+    height deviation -> roughness multiplier (recesses rougher)."""
+    lum = linear @ np.asarray((0.2126, 0.7152, 0.0722))
+    du = (np.roll(lum, -1, axis=1) - np.roll(lum, 1, axis=1)) * 0.5
+    dv = (np.roll(lum, -1, axis=0) - np.roll(lum, 1, axis=0)) * 0.5
+    k = 6.0
+    nrm = np.stack([0.5 + np.clip(du * k, -0.5, 0.5),
+                    0.5 + np.clip(dv * k, -0.5, 0.5),
+                    np.ones_like(lum)], -1)
+    rough = np.clip(0.85 - 0.6 * (lum - lum.mean()), 0.45, 1.0)
+    return nrm, np.repeat(rough[..., None], 3, -1)
+
+
 def main(out_dir=None):
     out_dir = out_dir or os.path.join(
         os.path.dirname(__file__), "..", "data", "textures")
     os.makedirs(out_dir, exist_ok=True)
     from rtvb_tpu.utils.image import write_png
+
+    def emit(fname, img01):
+        write_png(os.path.join(out_dir, fname),
+                  (np.clip(img01, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8))
+
     for name, fn in RECIPES.items():
         linear = np.clip(fn(), 0.0, 1.0)
-        srgb = linear ** (1.0 / 2.2)
-        write_png(os.path.join(out_dir, f"{name}.png"),
-                  (srgb * 255.0 + 0.5).astype(np.uint8))
-        print(f"wrote {name}.png")
+        emit(f"{name}.png", linear ** (1.0 / 2.2))
+        nrm, rough = _derived_maps(linear)
+        emit(f"{name}_n.png", nrm)
+        emit(f"{name}_r.png", rough)
+        print(f"wrote {name}.png (+_n, +_r)")
 
 
 if __name__ == "__main__":
