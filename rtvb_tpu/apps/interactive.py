@@ -343,6 +343,14 @@ class InteractiveApp:
     # InputState menu events drive the GameUI state machine — the
     # GameUIManager.cpp:698-788 interactive path.
     auto_start: bool = True
+    # frames kept in flight on the device (Backend.cpp:101-189 async-stream
+    # pipelining role): the loop submits frame N+k while frame N renders,
+    # blocking only on the OLDEST pending frame.  Per-frame time for the
+    # dynamic-resolution controller comes from COMPLETED-frame timestamps.
+    # 1 = classic submit-then-block; 2 hides the host dispatch + tunnel
+    # latency behind device render time (round-3 measured ~84 ms/frame at
+    # 720p with per-frame blocking, dominated by serialized dispatch).
+    frames_in_flight: int = 2
 
     def run(self, input_source=None):
         eng = Engine(settings=self.settings, scene=self.scene)
@@ -372,6 +380,9 @@ class InteractiveApp:
         dev_panel = False
         ui_drawn_state = None
         dev_field = 0     # dev-panel selected settings field (reflection idx)
+        inflight: list = []       # (frame index, device frame) pending
+        last_done = None
+        render_ms = 0.0
         frame = 0
         while self.max_frames is None or frame < self.max_frames:
             dt = timer.tick()
@@ -433,17 +444,27 @@ class InteractiveApp:
                                     camera={"pos": [float(v) for v in pose.pos],
                                             "yaw": float(pose.yaw),
                                             "pitch": float(pose.pitch)})
-            t_render = time.perf_counter()
-            # device endpoint + sync-only block: no per-frame host copy of
-            # the 1080p buffer (presenters pull pixels only when consuming)
+            # device endpoint, pipelined: submit this frame, then block only
+            # on the oldest in-flight frame (no per-frame host copy of the
+            # frame buffer; presenters pull pixels only when consuming)
             out = perf.timed("pathTracing", eng.render_realtime_device, dt)
             import jax as _jax
-            _jax.block_until_ready(out)
-            render_ms = (time.perf_counter() - t_render) * 1e3
+            inflight.append((frame, out))
+            while len(inflight) >= max(1, self.frames_in_flight) + 1 \
+                    or (self.max_frames is not None
+                        and frame == self.max_frames - 1 and inflight):
+                done_idx, done_out = inflight.pop(0)
+                _jax.block_until_ready(done_out)
+                now = time.perf_counter()
+                if last_done is not None:
+                    # completed-frame throughput drives dynamic resolution
+                    # (the reference's GPU-timer role, Backend.cpp:191-232)
+                    render_ms = (now - last_done) * 1e3
+                    if dynres is not None:
+                        eng.set_render_scale(dynres.update(render_ms))
+                last_done = now
+                self.presenter.present(done_out, done_idx)
             perf.end_frame()
-            if dynres is not None:
-                eng.set_render_scale(dynres.update(render_ms))
-            self.presenter.present(out, frame)
             if frame == 0 and (self.max_frames is None
                                or self.max_frames > 120):
                 # background-compile the lights-on frame variant so the
@@ -478,6 +499,11 @@ class InteractiveApp:
             if frame % 30 == 0:
                 print(dev_overlay_text(eng, timer, pose, eng.width))
             frame += 1
+        # drain frames still in flight (quit path)
+        import jax as _jax
+        for done_idx, done_out in inflight:
+            _jax.block_until_ready(done_out)
+            self.presenter.present(done_out, done_idx)
         # autosave on quit (Backend.cpp:236-237)
         self.store.save(ui.selected_world or "default", eng.cfg, eng.world,
                         camera={"pos": [float(v) for v in pose.pos],

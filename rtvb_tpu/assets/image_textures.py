@@ -47,7 +47,10 @@ MIP_SIZES = tuple(S0 >> l for l in range(LEVELS))        # (128,64,32,16,8)
 MIP_OFFS = tuple(int(np.cumsum((0,) + MIP_SIZES)[l]) for l in range(LEVELS))
 BLOCK_ROWS = 256              # per-texture rows (248 used, padded to 256)
 MAX_TEXTURES = 16
-TILE_R = 8                    # kernel pixel-tile rows
+TILE_R = 32                   # kernel pixel-tile rows (bigger tiles cut
+                              # grid steps -> fewer atlas re-fetches; the
+                              # per-tile texture/mip coherence that drives
+                              # the skip logic holds at 32 rows too)
 LANES = 128
 
 _NORMAL_SCALE = 8.0           # du/dv decode scale: RG ±0.5 maps to ±8 in
@@ -167,12 +170,38 @@ def _level_dims(li):
 # ---------------------------------------------------------------------------
 
 def _make_kernel(t_count: int):
-    def kernel(tid_ref, u_ref, v_ref, lvl_ref, planes_ref, *out_refs):
+    def kernel(tid_ref, u_ref, v_ref, lvl_ref, planes_hbm, *rest):
+        out_refs = rest[:6]
+        scratch, sem = rest[6], rest[7]
         tid = tid_ref[:]
         u = u_ref[:]
         v = v_ref[:]
         lvl = lvl_ref[:]                      # continuous per-pixel level
 
+        # the atlas stays in HBM and is DMA'd into the persistent VMEM
+        # scratch ONCE, on the first grid step — a VMEM-blocked input would
+        # be re-fetched every step (~3 ms/frame of pure copy at 1080p)
+        @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+        def _load_atlas():
+            copy = pltpu.make_async_copy(planes_hbm, scratch, sem)
+            copy.start()
+            copy.wait()
+
+        # whole-tile early out: outputs of untextured pixels are don't-care
+        # (the caller masks on image_id >= 0), so a tile with no textured
+        # pixel writes zeros and skips everything — the default-procedural
+        # mode pays only for tiles the (textured) character actually covers
+        for c in range(6):
+            out_refs[c][:] = jnp.zeros(u.shape, jnp.float32)
+
+        @pl.when(jnp.any(tid >= 0))
+        def _tile_body():
+            _sample_tile(t_count, tid, u, v, lvl, scratch, out_refs)
+
+    return kernel
+
+
+def _sample_tile(t_count, tid, u, v, lvl, planes_ref, out_refs):
         # per-tile level pair: the finest level any pixel wants
         l0t = jnp.min(lvl.astype(jnp.int32))  # scalar
         l0t = jnp.clip(l0t, 0, LEVELS - 2)
@@ -242,8 +271,6 @@ def _make_kernel(t_count: int):
         for c in range(6):
             out_refs[c][:] = accs[c] * (1.0 - w1) + accs[6 + c] * w1
 
-    return kernel
-
 
 @functools.partial(jax.jit, static_argnames=("t_count",))
 def _sample_tiles(tid, u, v, lvl, planes, t_count: int):
@@ -251,15 +278,16 @@ def _sample_tiles(tid, u, v, lvl, planes, t_count: int):
     grid = (H // TILE_R, W // LANES)
     tile = pl.BlockSpec((TILE_R, LANES), lambda i, j: (i, j),
                         memory_space=pltpu.VMEM)
-    full = pl.BlockSpec(planes.shape, lambda i, j: (0, 0, 0),
-                        memory_space=pltpu.VMEM)
     outs = [jax.ShapeDtypeStruct((H, W), jnp.float32)] * 6
     return pl.pallas_call(
         _make_kernel(t_count),
         grid=grid,
-        in_specs=[tile, tile, tile, tile, full],
+        in_specs=[tile, tile, tile, tile,
+                  pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[tile] * 6,
         out_shape=outs,
+        scratch_shapes=[pltpu.VMEM(planes.shape, jnp.float32),
+                        pltpu.SemaphoreType.DMA],
     )(tid, u, v, lvl, planes)
 
 
