@@ -235,6 +235,57 @@ def _take_rational(img, out_size: int, axis: int, delta: int):
     return st.reshape(new_shape)
 
 
+_EASU_TAPS12 = ((-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (0, 2),
+                (1, -1), (1, 0), (1, 1), (1, 2), (2, 0), (2, 1))
+
+
+def _easu_phase(tap_img, tap_fld, base_dy, base_dx, fy, fx):
+    """One constant-frac EASU output phase: identical math to the generic
+    path's per-pixel evaluation, but the source frac (fy, fx) is a python
+    SCALAR so the tap displacement terms fold into the weight polynomial at
+    trace time.  `tap_img(dy, dx)` / `tap_fld(dy, dx)` fetch the tap image
+    relative to the phase's base texel."""
+    # direction field: quad corners at (base+0/1, base+0/1), scalar blend
+    wf = (1 - fx) * (1 - fy)
+    wg = fx * (1 - fy)
+    wj = (1 - fx) * fy
+    wk = fx * fy
+    blend = (tap_fld(base_dy, base_dx) * wf
+             + tap_fld(base_dy, base_dx + 1) * wg
+             + tap_fld(base_dy + 1, base_dx) * wj
+             + tap_fld(base_dy + 1, base_dx + 1) * wk)
+    dirx, diry, length = blend[..., 0], blend[..., 1], blend[..., 2]
+    dr2 = dirx * dirx + diry * diry
+    has_dir = dr2 > 1e-8
+    inv = jnp.where(has_dir, 1.0 / jnp.sqrt(jnp.maximum(dr2, 1e-8)), 0.0)
+    dirx_n = jnp.where(has_dir, dirx * inv, 1.0)
+    diry_n = diry * inv
+    inv_along = 1.0 / (1.0 + length)
+
+    acc = None
+    wsum = None
+    for dy, dx in _EASU_TAPS12:
+        t = tap_img(base_dy + dy, base_dx + dx)
+        vx = dx - fx
+        vy = dy - fy
+        along = vx * dirx_n + vy * diry_n
+        across = -vx * diry_n + vy * dirx_n
+        d2 = jnp.square(along * inv_along) + jnp.square(across)
+        d2 = jnp.minimum(d2, 4.0)
+        w = jnp.square(0.4 * d2 - 1.0) * (25.0 / 16.0) - (25.0 / 16.0 - 1.0)
+        w = jnp.maximum(w, 0.0)[..., None]
+        acc = t * w if acc is None else acc + t * w
+        wsum = w if wsum is None else wsum + w
+    out = acc / jnp.maximum(wsum, 1e-5)
+    f_ = tap_img(base_dy, base_dx)
+    g_ = tap_img(base_dy, base_dx + 1)
+    j_ = tap_img(base_dy + 1, base_dx)
+    k_ = tap_img(base_dy + 1, base_dx + 1)
+    qmin = jnp.minimum(jnp.minimum(f_, g_), jnp.minimum(j_, k_))
+    qmax = jnp.maximum(jnp.maximum(f_, g_), jnp.maximum(j_, k_))
+    return jnp.clip(out, qmin, qmax)
+
+
 def _easu_2x(img, fields):
     """EASU specialization for the exact-2× upscale (the 1/2 dynamic-
     resolution rung — the settled steady state): each of the 4 output
@@ -251,56 +302,15 @@ def _easu_2x(img, fields):
         p = jnp.pad(a, pr, mode="edge")
         return p[2 + dy: 2 + dy + H, 2 + dx: 2 + dx + W]
 
-    taps12 = [(-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (0, 2),
-              (1, -1), (1, 0), (1, 1), (1, 2), (2, 0), (2, 1)]
-
-    def phase(base_dy, base_dx, fy, fx):
-        # direction field: quad corners at (base+0/1, base+0/1), scalar blend
-        wf = (1 - fx) * (1 - fy)
-        wg = fx * (1 - fy)
-        wj = (1 - fx) * fy
-        wk = fx * fy
-        blend = (shift(fields, base_dy, base_dx) * wf
-                 + shift(fields, base_dy, base_dx + 1) * wg
-                 + shift(fields, base_dy + 1, base_dx) * wj
-                 + shift(fields, base_dy + 1, base_dx + 1) * wk)
-        dirx, diry, length = blend[..., 0], blend[..., 1], blend[..., 2]
-        dr2 = dirx * dirx + diry * diry
-        has_dir = dr2 > 1e-8
-        inv = jnp.where(has_dir, 1.0 / jnp.sqrt(jnp.maximum(dr2, 1e-8)), 0.0)
-        dirx_n = jnp.where(has_dir, dirx * inv, 1.0)
-        diry_n = diry * inv
-        inv_along = 1.0 / (1.0 + length)
-
-        acc = jnp.zeros_like(img)
-        wsum = jnp.zeros((H, W, 1), img.dtype)
-        for dy, dx in taps12:
-            t = shift(img, base_dy + dy, base_dx + dx)
-            vx = dx - fx
-            vy = dy - fy
-            along = vx * dirx_n + vy * diry_n
-            across = -vx * diry_n + vy * dirx_n
-            d2 = jnp.square(along * inv_along) + jnp.square(across)
-            d2 = jnp.minimum(d2, 4.0)
-            w = jnp.square(0.4 * d2 - 1.0) * (25.0 / 16.0) - (25.0 / 16.0 - 1.0)
-            w = jnp.maximum(w, 0.0)[..., None]
-            acc = acc + t * w
-            wsum = wsum + w
-        out = acc / jnp.maximum(wsum, 1e-5)
-        f_ = shift(img, base_dy, base_dx)
-        g_ = shift(img, base_dy, base_dx + 1)
-        j_ = shift(img, base_dy + 1, base_dx)
-        k_ = shift(img, base_dy + 1, base_dx + 1)
-        qmin = jnp.minimum(jnp.minimum(f_, g_), jnp.minimum(j_, k_))
-        qmax = jnp.maximum(jnp.maximum(f_, g_), jnp.maximum(j_, k_))
-        return jnp.clip(out, qmin, qmax)
+    tap_img = lambda dy, dx: shift(img, dy, dx)
+    tap_fld = lambda dy, dx: shift(fields, dy, dx)
 
     # out row 2k   -> src pos k - 0.25: base k-1, frac 0.75
     # out row 2k+1 -> src pos k + 0.25: base k,   frac 0.25
     rows_out = []
     for base_dy, fy in ((-1, 0.75), (0, 0.25)):
-        p0 = phase(base_dy, -1, fy, 0.75)
-        p1 = phase(base_dy, 0, fy, 0.25)
+        p0 = _easu_phase(tap_img, tap_fld, base_dy, -1, fy, 0.75)
+        p1 = _easu_phase(tap_img, tap_fld, base_dy, 0, fy, 0.25)
         rows_out.append(jnp.stack([p0, p1], axis=2).reshape(H, 2 * W, 3))
     return jnp.stack(rows_out, axis=1).reshape(2 * H, 2 * W, 3)
 
@@ -327,6 +337,19 @@ def easu(img, out_h: int, out_w: int, force_generic: bool = False):
     H, W = img.shape[:2]
     if H == out_h and W == out_w:
         return img
+
+    if not force_generic and jax.default_backend() == "tpu" \
+            and not (out_h == 2 * H and out_w == 2 * W):
+        # non-2× rung-rational ratios run as ONE Pallas pass
+        # (ops/easu_kernel): zero phase-interleave relayouts, col gather on
+        # the MXU — 7.2 → 1.9 ms at the 2/3 rung (1080p out, v5e).  The
+        # exact-2× rung keeps the XLA specialization below (equally fast,
+        # already golden-covered).
+        from ..ops.easu_kernel import easu_tpu
+        out = easu_tpu(img, out_h, out_w)
+        if out is not None:
+            return out
+
     by, fy = _src_base(out_h, H)
     bx, fx = _src_base(out_w, W)
     fy = fy[:, None, None]
