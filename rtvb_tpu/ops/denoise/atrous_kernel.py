@@ -92,13 +92,17 @@ def _make_kernel(step: int, phi_lum: float, phi_normal: float,
                 n_nz = tap(gscr, 3, dy, dx)
                 n_lum = m.luminance(n_r, n_g, n_b)
 
-                w_z = jnp.exp(-jnp.abs(n_depth - depth)
-                              / (phi_depth * jnp.maximum(depth, 1.0)
-                                 * max(abs(dy) + abs(dx), 1)))
+                # one exp for the merged depth+luma terms; pow2-exponent
+                # normal weight as repeated squaring (pow = log+exp on the
+                # slow transcendental path; 50 exp + 25 pow/pixel/pass
+                # dominated the kernel).  Same formulas in the XLA twin.
+                e_z = jnp.abs(n_depth - depth) \
+                    / (phi_depth * jnp.maximum(depth, 1.0)
+                       * max(abs(dy) + abs(dx), 1))
                 ndot = jnp.maximum(n_nx * nx + n_ny * ny + n_nz * nz, 0.0)
-                w_n = ndot ** phi_normal
-                w_l = jnp.exp(-jnp.abs(n_lum - lum_c) / sigma_l)
-                w = wk * w_z * w_n * w_l
+                w_n = m.pow_weight(ndot, phi_normal)
+                e_l = jnp.abs(n_lum - lum_c) / sigma_l
+                w = wk * jnp.exp(-(e_z + e_l)) * w_n
                 sky = (n_depth >= big) | (depth >= big)
                 w = jnp.where(sky, 0.0, w)
                 acc_r = acc_r + n_r * w

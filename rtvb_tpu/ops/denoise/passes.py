@@ -259,12 +259,14 @@ def atrous_pass(illum, var, depth, normal, roughness, step: int,
             n_norm = _shift(normal, oy, ox)
             n_lum = m.luminance(n_illum[..., 0], n_illum[..., 1], n_illum[..., 2])
 
-            w_z = jnp.exp(-jnp.abs(n_depth - depth)
-                          / (phi_depth * jnp.maximum(depth, 1.0) * max(abs(dy) + abs(dx), 1)))
+            # merged-exp + squaring-pow weights — must match the Pallas
+            # kernel op-for-op (ops/denoise/atrous_kernel.py)
+            e_z = jnp.abs(n_depth - depth) \
+                / (phi_depth * jnp.maximum(depth, 1.0) * max(abs(dy) + abs(dx), 1))
             ndot = jnp.maximum((n_norm * normal).sum(-1), 0.0)
-            w_n = ndot ** phi_normal
-            w_l = jnp.exp(-jnp.abs(n_lum - lum_c) / sigma_l)
-            w = wk * w_z * w_n * w_l
+            w_n = m.pow_weight(ndot, phi_normal)
+            e_l = jnp.abs(n_lum - lum_c) / sigma_l
+            w = wk * jnp.exp(-(e_z + e_l)) * w_n
             sky = (n_depth >= BIG) | (depth >= BIG)
             w = jnp.where(sky, 0.0, w)
             acc = acc + n_illum * w[..., None]

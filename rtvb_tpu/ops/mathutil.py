@@ -127,6 +127,20 @@ def luminance(r, g=None, b=None):
     return 0.2126 * r + 0.7152 * g + 0.0722 * b
 
 
+def pow_weight(x, e: float):
+    """x**e with repeated squaring when e is a power-of-two integer (the
+    denoiser's phi_normal=64 case): 6 multiplies instead of the log+exp
+    transcendental path — identical math on VPU and XLA so kernel/twin
+    parity holds."""
+    n = int(e)
+    if float(n) == float(e) and n > 0 and (n & (n - 1)) == 0:
+        while n > 1:
+            x = x * x
+            n >>= 1
+        return x
+    return x ** e
+
+
 def orthonormal_basis(n: Vec3):
     """Branchless ONB from a unit normal (Duff et al. 2017 'Building an
     Orthonormal Basis, Revisited'). Returns (tangent, bitangent)."""
