@@ -53,6 +53,18 @@ class RenderingSettings:
     # (OptixRenderer.cpp:1369-1529); affordable since ops/tri_kernel's
     # AABB-culled SMEM sweep (~1 ms clustered at 1080p, docs/PROFILE.md)
     entity_in_bounces: bool = True
+    # Realtime GI ray budget: trace bounces >= 1 (and their NEE shadow
+    # rays) at HALF resolution — one representative path per 2x2 quad,
+    # upsampled by redistributing the quad's incoming radiance through each
+    # pixel's own full-res primary throughput.  Primary visibility, the
+    # G-buffer, ReSTIR direct lighting and motion vectors stay exact at
+    # full res, so every denoiser guide is unaffected; the denoiser +
+    # temporal accumulation absorb the correlated GI noise (the same bet
+    # the reference's NRD-style pipeline makes on checkerboarded inputs —
+    # HitDistReconstruction.h heritage).  Secondary waves were ~55% of all
+    # trace time (docs/PROFILE.md r4); this quarters their ray count.
+    # Offline accumulation renders ignore this (full-res GI per sample).
+    half_res_gi: bool = True
     # per-bounce direct lighting + BSDF continuation as ONE fused kernel
     # (render/ris_kernel.py) instead of the in-line XLA composition — the
     # XLA shading fusions were measured VPU-op-bound at ~23 ms/frame

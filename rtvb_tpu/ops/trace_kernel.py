@@ -205,6 +205,12 @@ def trace(o, d, colmask2d, df_row, p: dda.TraceParams, t_cap=None,
         H, W = shape
         Hp = H + (-H) % 8
         Wp = W + (-W) % LANES
+        if _pick_tile_r(Hp) < 16:
+            # no decent tile divisor (e.g. half-res GI waves at 360 rows →
+            # 8-row tiles, the measured-pathological size — see
+            # _pick_tile_r): pad to the next multiple of 24 with neutral
+            # rays instead (≤6.7% extra lanes ≪ the small-tile penalty)
+            Hp = H + (-H) % 24
 
         def prep(a, fill=0.0):
             a = jnp.broadcast_to(a, shape)

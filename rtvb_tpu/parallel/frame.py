@@ -16,6 +16,10 @@ Runs the exact same stage functions as Engine._frame_fn —
   extended-band form, `(n_devices · ext_rows, W)`, so reuse never crosses a
   device boundary; with camera motion the band-edge halo rows reproject
   approximately (M-capped, exactly like the screen border).
+* **GI ray budget**: bands render FULL-res GI (`half_res_gi` stays off
+  here): band offsets can be odd, so band-local 2x2 GI quads could not
+  align with the monolithic frame's quads — and scale-out already
+  multiplies the per-pixel ray budget, which is the whole point.
 * **Post-processing**: bands are `all_gather`ed (tiled, ICI) and the full
   post chain (auto-exposure histogram, bloom pyramid, lens flare — all
   screen-global effects) runs replicated on every device.  Post is ~3% of

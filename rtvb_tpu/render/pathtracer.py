@@ -288,6 +288,21 @@ def shade_reservoir_deferred(res: Reservoir, p, n, wo, mat, live=None):
     return rgb, origin, sdir, cap
 
 
+def _ds(a):
+    """2x2-quad representative pick (static top-left rep: the rep's own
+    per-frame subpixel jitter supplies temporal dither)."""
+    return a[0::2, 0::2]
+
+
+def _ds3(v):
+    return (_ds(v[0]), _ds(v[1]), _ds(v[2]))
+
+
+def _up(a):
+    """Broadcast each half-res value over its 2x2 quad."""
+    return jnp.repeat(jnp.repeat(a, 2, axis=0), 2, axis=1)
+
+
 def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                  lights: LightTable, sky_state, cam: Camera, hist_cam: Camera,
                  frame_idx, width: int, height: int,
@@ -295,7 +310,8 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                  y0=0, rows: int | None = None,
                  prev_restir=None, light_remap=None,
                  entities: EntityBuffers | None = None,
-                 atlas=None, shade_backend: str | None = None):
+                 atlas=None, shade_backend: str | None = None,
+                 half_res_gi: bool = False):
     """One 1-spp path-traced frame producing denoiser-ready G-buffers.
 
     trace_fn(o, d, t_cap, any_hit) -> HitRecord, closed over world tables
@@ -320,6 +336,11 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
     """
     use_restir = prev_restir is not None
     H, W = (height if rows is None else rows), width
+    # realtime GI ray budget (config.half_res_gi): bounces >= 1 trace one
+    # representative path per 2x2 quad; see the transition block at the end
+    # of the bounce-0 iteration and the fold-up after the shadow wave
+    half_gi = (half_res_gi and H % 2 == 0 and W % 2 == 0
+               and rs_cfg.total_bounce_limit > 1)
     px = jnp.broadcast_to(jnp.arange(W, dtype=jnp.uint32)[None, :], (H, W))
     py = jnp.broadcast_to(
         (jnp.arange(H, dtype=jnp.uint32) + jnp.asarray(y0, jnp.uint32))[:, None], (H, W))
@@ -382,6 +403,13 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
     shadow_rgb: list = []
     restir_pending = None
 
+    # half-res GI bookkeeping: Lcur aliases L until the bounce-0/1
+    # transition, then points at the half-res GI accumulator (basis
+    # throughput 1; th0_full redistributes it per full-res pixel at the end)
+    Lcur = L
+    L_gi = None
+    th0_full = None
+
     for bounce in range(rs_cfg.total_bounce_limit):
         rs.dim = 8 + bounce * 64
         if bounce > 0:
@@ -406,7 +434,7 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
             rec = rec._replace(hit=rec.hit | is_ent,
                                t=jnp.where(is_ent, th.t, rec.t))
         else:
-            is_ent = jnp.zeros((H, W), bool)
+            is_ent = jnp.zeros_like(alive)
 
         # ---- miss: sky + sun with MIS against the NEE sky/sun candidates ----
         sky_rgb = sky_mod.sky_radiance(d, sky_state)
@@ -422,7 +450,7 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
             mis_sun = jnp.where(prev_delta, 1.0, pdf_b / jnp.maximum(pdf_b + pdf_sun_cone, 1e-9))
         miss_now = alive & ~rec.hit
         for i in range(3):
-            L[i] = L[i] + jnp.where(
+            Lcur[i] = Lcur[i] + jnp.where(
                 miss_now,
                 throughput[i] * (sky_rgb[i] * mis_sky + sun_rgb[i] * mis_sun), 0.0)
         alive = alive & rec.hit
@@ -569,7 +597,7 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                                   prev_cos_pdf + pdf_nee_e, 1e-9))
         hit_emis = alive & is_emissive
         for i in range(3):
-            L[i] = L[i] + jnp.where(hit_emis, throughput[i] * emis[i] * mis_e, 0.0)
+            Lcur[i] = Lcur[i] + jnp.where(hit_emis, throughput[i] * emis[i] * mis_e, 0.0)
 
         if bounce == 0:
             first_hit = rec.hit
@@ -749,25 +777,57 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
             prev_cos_pdf = jnp.where(samp.is_delta, 0.0, prev_cos_pdf)
         prev_n = n
 
-    # ---- batched NEE visibility wave (all bounces' shadow rays at once) ----
+        if half_gi and bounce == 0:
+            # ---- GI transition: bounces >= 1 at half resolution ----
+            # th0_full (the full-res path weight through the primary BSDF)
+            # redistributes the quad-representative incoming radiance per
+            # pixel at the end; the half-res wave carries basis-1 throughput
+            # so NEE/emissive/sky adds need no renormalization.
+            th0_full = tuple(throughput)
+            o = _ds3(o)
+            d = _ds3(d)
+            alive = _ds(alive) & (
+                _ds(throughput[0] + throughput[1] + throughput[2]) > 1e-6)
+            one_h = jnp.ones_like(alive, jnp.float32)
+            throughput = [one_h, one_h, one_h]
+            diffuse_count = _ds(diffuse_count)
+            min_roughness = _ds(min_roughness)
+            prev_delta = _ds(prev_delta)
+            prev_cos_pdf = _ds(prev_cos_pdf)
+            prev_n = _ds3(prev_n)
+            rs = rng.RandState(_ds(px), _ds(py), frame_u, 0)
+            L_gi = [jnp.zeros_like(one_h) for _ in range(3)]
+            Lcur = L_gi
+
+    # ---- batched NEE visibility waves (one per resolution group: the
+    # full-res primary wave, plus the half-res GI wave when half_gi) ----
     new_restir = None
     if shadow_rays:
-        nb = len(shadow_rays)
-        if nb == 1:
-            srec = trace_any(*shadow_rays[0])
-            vis_parts = [~srec.hit]
-        else:
-            o_all = tuple(jnp.concatenate([r[0][i] for r in shadow_rays], 0)
-                          for i in range(3))
-            d_all = tuple(jnp.concatenate([r[1][i] for r in shadow_rays], 0)
-                          for i in range(3))
-            cap_all = jnp.concatenate([r[2] for r in shadow_rays], 0)
-            srec = trace_any(o_all, d_all, cap_all)
-            vis_all = ~srec.hit
-            vis_parts = [vis_all[k * H:(k + 1) * H] for k in range(nb)]
+        groups: dict = {}
+        for k, (_, _, rc) in enumerate(shadow_rays):
+            groups.setdefault(rc.shape, []).append(k)
+        vis_parts: list = [None] * len(shadow_rays)
+        for shape, idxs in groups.items():
+            if len(idxs) == 1:
+                srec = trace_any(*shadow_rays[idxs[0]])
+                vis_parts[idxs[0]] = ~srec.hit
+            else:
+                o_all = tuple(
+                    jnp.concatenate([shadow_rays[k][0][i] for k in idxs], 0)
+                    for i in range(3))
+                d_all = tuple(
+                    jnp.concatenate([shadow_rays[k][1][i] for k in idxs], 0)
+                    for i in range(3))
+                cap_all = jnp.concatenate([shadow_rays[k][2] for k in idxs], 0)
+                srec = trace_any(o_all, d_all, cap_all)
+                vis_all = ~srec.hit
+                rows_g = shape[0]
+                for j, k in enumerate(idxs):
+                    vis_parts[k] = vis_all[j * rows_g:(j + 1) * rows_g]
         for rgb_k, vis_k in zip(shadow_rgb, vis_parts):
+            tgt = L if rgb_k[0].shape == L[0].shape else L_gi
             for i in range(3):
-                L[i] = L[i] + jnp.where(vis_k, rgb_k[i], 0.0)
+                tgt[i] = tgt[i] + jnp.where(vis_k, rgb_k[i], 0.0)
         if restir_pending is not None:
             (k2, s2, f2, fa2, fb2, dir2, le2, M2, W2, keep, n0) = \
                 restir_pending
@@ -778,6 +838,12 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                 W=jnp.where(keep & visible0, W2, 0.0),
                 M=jnp.where(keep, M2, 0.0),
                 depth=g_depth, n3=n0, le=le2)
+
+    # fold the half-res GI accumulator up through each pixel's own primary
+    # path weight (albedo/BSDF variation inside the quad stays per-pixel)
+    if L_gi is not None:
+        for i in range(3):
+            L[i] = L[i] + th0_full[i] * _up(L_gi[i])
 
     # NaN scrub (RayGen.cu:175-178) + albedo demodulation
     # (closesthit.cu:293-303), computed through ONE stacked root: with three

@@ -583,7 +583,8 @@ class Engine:
                     frame_idx, W, H, rs_cfg, trace_fn,
                     prev_restir=prev_restir if use_restir else None,
                     light_remap=light_remap, entities=ent, atlas=atlas,
-                    shade_backend=shade_backend)
+                    shade_backend=shade_backend,
+                    half_res_gi=rs_cfg.half_res_gi)
                 rgb, new_dstate = _denoise_jit(g, dstate, dn_cfg)
                 out, new_pstate = postprocess.run(rgb, post_state, pp, tm, dt,
                                                   out_h, out_w,

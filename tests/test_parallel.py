@@ -121,8 +121,13 @@ def test_sharded_full_frame_matches_unsharded_3_frames():
     n = 8
     # smaller à-trous pyramid keeps the halo (and compile time) modest while
     # exercising every pass
+    # half_res_gi off: the sharded frame renders full-res GI (band offsets
+    # can be odd, so the 2x2 GI quads of parallel/frame.py bands could not
+    # align with the monolithic frame's quads; scale-out already multiplies
+    # the ray budget, so the single-chip GI knob stays off there)
     settings = Settings().replace(
-        rendering={"render_width": W, "render_height": H},
+        rendering={"render_width": W, "render_height": H,
+                   "half_res_gi": False},
         denoising={"atrous_iterations": 2})
     eng = Engine(settings=settings, width=W, height=H, backend="xla")
     rows, ext, halo = band_layout(H, n, eng.settings.denoising)
