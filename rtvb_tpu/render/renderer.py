@@ -592,9 +592,16 @@ class Engine:
                 out_u8 = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
                 return out_u8, new_restir, new_dstate, new_pstate
 
-            # NOTE: no donate_argnums — the axon TPU backend intermittently
-            # raises InvalidArgument on donated-state reuse
-            self._compiled[key] = jax.jit(run)
+            # Donate the three feedback states (prev_restir, dstate,
+            # post_state): without donation XLA preserves every input plane
+            # with an HBM copy — measured 13.5 ms/frame of DMA-engine time
+            # at the 1/2 rung (tools/device_trace.py, r5), roughly half the
+            # whole frame.  The r2-era axon InvalidArgument on donated-state
+            # reuse is avoided by never reusing donated buffers: the engine
+            # rebinds self.* from the outputs every frame, and the light-
+            # variant warmup passes throwaway state copies.  On CPU (tests)
+            # donation is a no-op.
+            self._compiled[key] = jax.jit(run, donate_argnums=(7, 9, 10))
         return self._compiled[key]
 
     def render_realtime(self, dt: float = 1.0 / 60.0) -> np.ndarray:
@@ -662,10 +669,16 @@ class Engine:
             return None
         import threading
         fn = self._frame_fn(n_local_override=n_local)
+        # Donated args (prev_restir/dstate/post_state) must be THROWAWAY
+        # copies: the frame fn donates them, and the live buffers belong to
+        # the interactive loop running concurrently with this warmup.
+        from . import restir as restir_mod
         args = (self.world, self.materials, self.lights, self.sky_state,
                 self.camera, self.history_camera, self.frame_index,
-                self.restir_state, self._light_remap,
-                self.denoiser_state, self.post_state, jnp.float32(1 / 60),
+                _commit(restir_mod.initial_state(self.height, self.width)),
+                self._light_remap,
+                _commit(initial_denoiser_state(self.height, self.width)),
+                jax.tree.map(jnp.copy, self.post_state), jnp.float32(1 / 60),
                 self.entity_buffers(), self.texture_atlas, self._ui_overlay)
 
         def work():

@@ -65,14 +65,20 @@ def _fields(buf: memoryview):
             raise ValueError(f"wire type {wt}")
 
 
+def _zigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
 def _parse_event(buf):
-    mid = dur = 0
+    mid = off = dur = 0
     for fno, wt, v in _fields(buf):
         if fno == 1:
             mid = v
+        elif fno == 2:
+            off = _zigzag(v)          # offset_ps is sint64
         elif fno == 3:
             dur = v
-    return mid, dur
+    return mid, off, dur
 
 
 def _parse_line(buf):
@@ -121,8 +127,10 @@ def summarize(logdir: str, frames: int, top: int = 40):
     assert paths, f"no xplane under {logdir}"
     buf = memoryview(open(max(paths, key=os.path.getmtime), "rb").read())
 
-    per_op = collections.Counter()
-    total = 0.0
+    per_op = collections.Counter()          # compute ops: duration sums
+    dma_op = collections.Counter()          # async copies: duration sums (incl. wait)
+    intervals = []                          # compute-op intervals for union
+    dma_intervals = []
     for fno, wt, v in _fields(buf):
         if fno != 1:
             continue
@@ -132,14 +140,46 @@ def summarize(logdir: str, frames: int, top: int = 40):
         for lname, events in lines:
             if "XLA Op" not in lname:
                 continue   # module/step lines double-count the op time
-            for mid, dur_ps in events:
-                per_op[meta.get(mid, f"#{mid}")] += dur_ps / 1e9
-                total += dur_ps / 1e9
-    print(f"\ntotal device time {total:.1f} ms = {total / frames:.2f} ms/frame"
-          f" ({frames} frames)")
+            for mid, off_ps, dur_ps in events:
+                name = meta.get(mid, f"#{mid}")
+                is_dma = name.startswith(("%copy-start", "%copy-done",
+                                          "%slice-start", "%slice-done",
+                                          "%dynamic-slice-start",
+                                          "%dynamic-update-slice-start"))
+                if is_dma:
+                    dma_op[name] += dur_ps / 1e9
+                    dma_intervals.append((off_ps, off_ps + dur_ps))
+                else:
+                    per_op[name] += dur_ps / 1e9
+                    intervals.append((off_ps, off_ps + dur_ps))
+
+    def _union_ms(iv):
+        iv.sort()
+        tot = 0
+        cur_s = cur_e = None
+        for s, e in iv:
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    tot += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        if cur_e is not None:
+            tot += cur_e - cur_s
+        return tot / 1e9
+
+    busy = _union_ms(intervals)
+    dma_busy = _union_ms(dma_intervals)
+    total = sum(per_op.values())
+    print(f"\ncompute busy {busy:.1f} ms = {busy / frames:.2f} ms/frame; "
+          f"dma-engine busy {dma_busy / frames:.2f} ms/frame "
+          f"(overlapped; {frames} frames)")
     print(f"{'op':70s} {'ms/frm':>8s} {'%':>5s}")
     for name, ms in per_op.most_common(top):
         print(f"{name[:70]:70s} {ms / frames:8.3f} {100 * ms / total:5.1f}")
+    print("\n-- async copies (duration incl. wait; overlaps compute) --")
+    for name, ms in dma_op.most_common(12):
+        print(f"{name[:70]:70s} {ms / frames:8.3f}")
     return per_op, total
 
 
