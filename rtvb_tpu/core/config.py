@@ -65,6 +65,11 @@ class RenderingSettings:
     # trace time (docs/PROFILE.md r4); this quarters their ray count.
     # Offline accumulation renders ignore this (full-res GI per sample).
     half_res_gi: bool = True
+    # blue-noise low-discrepancy sampling (RandGen.h:21-46 role): sobol
+    # XOR-basis + void-and-cluster scrambling/ranking tiles
+    # (ops/rng.bn_draw, data/assets/bluenoise.npz).  OFF falls back to the
+    # PCG + golden-ratio white-noise sampler.
+    blue_noise: bool = True
     # per-bounce direct lighting + BSDF continuation as ONE fused kernel
     # (render/ris_kernel.py) instead of the in-line XLA composition — the
     # XLA shading fusions were measured VPU-op-bound at ~23 ms/frame

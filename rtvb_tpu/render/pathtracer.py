@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..assets import textures
@@ -290,8 +291,22 @@ def shade_reservoir_deferred(res: Reservoir, p, n, wo, mat, live=None):
 
 def _ds(a):
     """2x2-quad representative pick (static top-left rep: the rep's own
-    per-frame subpixel jitter supplies temporal dither)."""
-    return a[0::2, 0::2]
+    per-frame subpixel jitter supplies temporal dither).
+
+    NOT written as a[0::2, 0::2]: the strided slice lowers to a scalarized
+    gather relayout on TPU — 1.26 ms PER 540x960 plane, ~14 ms/frame across
+    the ~14 planes of the GI transition (r5 xplane trace).  The masked 2x2
+    sum-pool below picks the identical value (rep + 0 + 0 + 0, exact in
+    f32/i32) as one vectorized pooling op."""
+    if a.dtype == jnp.bool_:
+        return _ds(a.astype(jnp.int32)) > 0
+    H, W = a.shape
+    iy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    mask = ((iy & 1) == 0) & ((ix & 1) == 0)
+    az = jnp.where(mask, a, jnp.zeros_like(a))
+    return jax.lax.reduce_window(az, jnp.zeros((), a.dtype), jax.lax.add,
+                                 (2, 2), (2, 2), "VALID")
 
 
 def _ds3(v):
@@ -346,7 +361,10 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         (jnp.arange(H, dtype=jnp.uint32) + jnp.asarray(y0, jnp.uint32))[:, None], (H, W))
     frame_u = jnp.asarray(frame_idx, jnp.uint32)
 
-    rs = rng.RandState(px, py, frame_u, 0)
+    bn_full = rng.bn_packed(H, W, y0) if getattr(rs_cfg, "blue_noise", False) \
+        else None
+    bn_cur = bn_full     # tracks the live wave resolution (half-res after GI)
+    rs = rng.RandState(px, py, frame_u, 0, bn=bn_full)
     ju, jv = rs.next2()
     o, d = camera_rays(cam, W, height, ju, jv, y0=y0, rows=H)
 
@@ -656,14 +674,15 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                 base_dim=8 + bounce * 64,
                 ent_unreachable=ent_unreach,
                 m_cap=float(restir_mod.M_CAP), dis_thr=0.2,
-                approx=(shade_backend == "pallas"))
+                approx=(shade_backend == "pallas"),
+                blue_noise=bn_cur is not None)
             out = ris_kernel.fused_shade(
                 sh_cfg, frame_u, y0, sf_pack, lf_pack, li_pack,
                 envf_pack, envi_pack, p_off, n, wo,
                 (mat.albedo_r, mat.albedo_g, mat.albedo_b),
                 mat.roughness, mat.metallic, mat.translucency,
                 depth=g_depth if n_taps_b else None, taps=taps,
-                backend=shade_backend)
+                backend=shade_backend, bn=bn_cur)
             nee = out.nee
             live2 = alive & (out.phat > 1e-9)
             vdir = m.where3(live2, out.dir, (jnp.zeros_like(p[0]),
@@ -795,7 +814,9 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
             prev_delta = _ds(prev_delta)
             prev_cos_pdf = _ds(prev_cos_pdf)
             prev_n = _ds3(prev_n)
-            rs = rng.RandState(_ds(px), _ds(py), frame_u, 0)
+            bn_cur = None if bn_full is None \
+                else rng.bn_packed(H // 2, W // 2, y0, step=2)
+            rs = rng.RandState(_ds(px), _ds(py), frame_u, 0, bn=bn_cur)
             L_gi = [jnp.zeros_like(one_h) for _ in range(3)]
             Lcur = L_gi
 

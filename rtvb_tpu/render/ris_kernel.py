@@ -18,8 +18,9 @@ Two bindings of the SAME body (`_fused_body`, the ops/dda.py pattern):
   * `fused_shade(..., backend="pallas")` — (tile, 128) pixel tiles on TPU;
   * `fused_shade(..., backend="xla")`    — the body traced directly (CPU
     tests / goldens; lane shuffles are cheap under XLA:CPU).
-Both consume the identical RNG stream (ops/rng.py PCG + R2) and produce
-matching results (tests/test_ris_kernel.py parity gate).
+Both consume the identical RNG stream (ops/rng.py — blue-noise byte planes
+when cfg.blue_noise, else PCG + R2) and produce matching results
+(tests/test_ris_kernel.py parity gate).
 """
 from __future__ import annotations
 
@@ -67,6 +68,7 @@ class ShadeConfig(NamedTuple):
     m_cap: float
     dis_thr: float        # temporal-tap relative depth tolerance
     approx: bool          # approximate reciprocals (TPU kernel only)
+    blue_noise: bool = False   # draws from ops/rng.bn_draw byte planes
 
 
 class ShadeOut(NamedTuple):
@@ -117,7 +119,7 @@ def _g1(row, idx):
 def _fused_body(cfg: ShadeConfig, px, py, frame_u, sf,
                 p, n, wo, alb, rough, metal, trans,
                 depth, taps, lf, li, envf, envi,
-                xla: bool = False) -> ShadeOut:
+                xla: bool = False, bn=None) -> ShadeOut:
     """The estimator over tile- or image-shaped SoA arrays.
 
     px/py: u32 global pixel coordinates; frame_u: u32 frame index.
@@ -161,13 +163,16 @@ def _fused_body(cfg: ShadeConfig, px, py, frame_u, sf,
         return acc
 
     # --- RNG: ops/rng.RandState formulas, dims statically unrolled ---
-    h0 = rng.pcg_hash(jnp.uint32(0x9E3779B9) ^ px.astype(jnp.uint32))
-    base = rng.pcg_hash(h0 ^ (py.astype(jnp.uint32) * jnp.uint32(9277)))
+    if bn is None:
+        h0 = rng.pcg_hash(jnp.uint32(0x9E3779B9) ^ px.astype(jnp.uint32))
+        base = rng.pcg_hash(h0 ^ (py.astype(jnp.uint32) * jnp.uint32(9277)))
     dim_counter = [cfg.base_dim]
 
     def draw():
         dim = dim_counter[0]
         dim_counter[0] = dim + 1
+        if bn is not None:
+            return rng.bn_draw(bn, frame_u, dim)
         bits = rng.pcg_hash(base ^ (jnp.uint32(dim) * jnp.uint32(26699)))
         # NOTE: construct the stride INSIDE the traced body — module-level
         # jnp scalars are closed-over constants, which pallas_call rejects
@@ -426,6 +431,7 @@ def _make_kernel(cfg: ShadeConfig, tile_r: int):
         else:
             depth = None
             taps = []
+        bn = tuple(nxt() for _ in range(4)) if cfg.blue_noise else None
         outs = rest[k:]
         assert len(outs) == N_OUT, len(outs)
 
@@ -440,7 +446,8 @@ def _make_kernel(cfg: ShadeConfig, tile_r: int):
         # indexes it element-wise (sf[SF_*]) which works on Ref and array
         out = _fused_body(cfg, px, py, frame_u, sf,
                           p, n, wo, alb, rough, metal, trans,
-                          depth, taps, lf[:], li[:], envf[:], envi[:])
+                          depth, taps, lf[:], li[:], envf[:], envi[:],
+                          bn=bn)
         for ref, v in zip(outs, _flatten_out(out)):
             ref[:] = v
 
@@ -553,7 +560,8 @@ def pack_env_tables(sky_state) -> tuple:
 
 def fused_shade(cfg: ShadeConfig, frame_idx, y0, sf, lf, li, envf, envi,
                 p, n, wo, alb, rough, metal, trans,
-                depth=None, taps=(), backend: str = "pallas") -> ShadeOut:
+                depth=None, taps=(), backend: str = "pallas",
+                bn=None) -> ShadeOut:
     """Run the fused estimator for one bounce.
 
     backend="pallas": (tile, 128) Pallas kernel (TPU).
@@ -570,7 +578,8 @@ def fused_shade(cfg: ShadeConfig, frame_idx, y0, sf, lf, li, envf, envi,
         py = jnp.broadcast_to(yy, shape).astype(jnp.uint32)
         return _fused_body(cfg, px, py, jnp.asarray(frame_idx, jnp.uint32),
                            sf, p, n, wo, alb, rough, metal, trans,
-                           depth, list(taps), lf, li, envf, envi, xla=True)
+                           depth, list(taps), lf, li, envf, envi, xla=True,
+                           bn=None if bn is None else tuple(bn))
 
     Hp = H + (-H) % 8
     Wp = W + (-W) % LANES
@@ -594,6 +603,12 @@ def fused_shade(cfg: ShadeConfig, frame_idx, y0, sf, lf, li, envf, envi,
         for planes, valid in taps:
             tiled.extend(prep(pl_) for pl_ in planes)
             tiled.append(prep_i(valid))
+    if cfg.blue_noise:
+        assert bn is not None and len(bn) == 4
+        for a in bn:
+            if Hp > H or Wp > W:
+                a = jnp.pad(a, ((0, Hp - H), (0, Wp - W)))
+            tiled.append(a)
 
     si = jnp.stack([jnp.asarray(frame_idx, jnp.int32).astype(jnp.int32),
                     jnp.asarray(y0, jnp.int32)])
