@@ -60,6 +60,16 @@ def to_unit_float(bits):
     return jax.lax.bitcast_convert_type(b, jnp.float32) - 1.0
 
 
+def to_unit_float_scalar(bits):
+    """Scalar-safe `to_unit_float`: Mosaic's tpu.bitcast op is vector-only,
+    so SCALAR operands (e.g. the per-frame sobol term inside the fused shade
+    kernel) convert via an i32 cast instead.  Bit-identical to the bitcast
+    form: (bits>>9) < 2²³ is exactly representable in float32, so
+    (bits>>9)·2⁻²³ equals the mantissa-injection value for every input."""
+    b = (bits >> jnp.uint32(9)).astype(jnp.int32)
+    return b.astype(jnp.float32) * jnp.float32(2.0 ** -23)
+
+
 # R2 strides as fixed-point uint32 (round(stride · 2³²)): the golden-ratio
 # frame advance runs in exact modular arithmetic, so the sequence never
 # degrades however large the frame counter grows (float32 frame·stride loses
@@ -156,7 +166,7 @@ def bn_draw(bn, frame, dim: int):
     bits = (byte << jnp.uint32(15)) | jnp.uint32(0x3F800000)
     mask_f = jax.lax.bitcast_convert_type(bits, jnp.float32) \
         - (1.0 - 0.5 / 256.0)
-    u = mask_f + to_unit_float(bn_sobol_scalar(frame, dim))
+    u = mask_f + to_unit_float_scalar(bn_sobol_scalar(frame, dim))
     return u - jnp.floor(u)
 
 
