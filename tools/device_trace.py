@@ -130,6 +130,7 @@ def summarize(logdir: str, frames: int, top: int = 40):
     per_op = collections.Counter()          # compute ops: duration sums
     dma_op = collections.Counter()          # async copies: duration sums (incl. wait)
     intervals = []                          # compute-op intervals for union
+    i_names = []                            # op name per compute interval
     dma_intervals = []
     for fno, wt, v in _fields(buf):
         if fno != 1:
@@ -152,9 +153,10 @@ def summarize(logdir: str, frames: int, top: int = 40):
                 else:
                     per_op[name] += dur_ps / 1e9
                     intervals.append((off_ps, off_ps + dur_ps))
+                    i_names.append(name)
 
     def _union_ms(iv):
-        iv.sort()
+        iv = sorted(iv)   # copy: callers keep their interval↔name pairing
         tot = 0
         cur_s = cur_e = None
         for s, e in iv:
@@ -171,6 +173,30 @@ def summarize(logdir: str, frames: int, top: int = 40):
     busy = _union_ms(intervals)
     dma_busy = _union_ms(dma_intervals)
     total = sum(per_op.values())
+
+    # gap structure: wall span vs busy, and the largest idle holes in the
+    # COMPUTE timeline with the ops bordering each hole (what is the core
+    # waiting for?).  DMA intervals overlapping a hole are listed too.
+    named = sorted((s, e, nm) for (s, e), nm in zip(intervals, i_names))
+    if named:
+        span = (named[-1][1] - named[0][0]) / 1e9
+        print(f"wall span {span:.1f} ms = {span / frames:.2f} ms/frame; "
+              f"compute holes {(span - busy) / frames:.2f} ms/frame")
+        holes = []
+        cur_e, cur_nm = named[0][1], named[0][2]
+        for s, e, nm in named[1:]:
+            if s > cur_e:
+                holes.append((s - cur_e, cur_e, s, cur_nm, nm))
+            if e > cur_e:
+                cur_e, cur_nm = e, nm
+        holes.sort(reverse=True)
+        print("\n-- largest compute holes --")
+        for dur, hs, he, before, after in holes[:12]:
+            dma_in = sum(min(e2, he) - max(s2, hs)
+                         for s2, e2 in dma_intervals
+                         if e2 > hs and s2 < he) / 1e9
+            print(f"{dur / 1e6:8.3f} ms  dma-covered {dma_in:6.2f} ms  "
+                  f"after {before[:40]:40s} before {after[:40]}")
     print(f"\ncompute busy {busy:.1f} ms = {busy / frames:.2f} ms/frame; "
           f"dma-engine busy {dma_busy / frames:.2f} ms/frame "
           f"(overlapped; {frames} frames)")
