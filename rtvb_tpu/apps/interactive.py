@@ -525,7 +525,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     settings = Settings().replace(rendering={
-        "render_width": args.width, "render_height": args.height})
+        "render_width": args.width, "render_height": args.height,
+        # gameplay feedback: picked-block edge highlight lives in the
+        # interactive config (VoxelEngine.cu:884-903 role)
+        "block_highlight": True})
     presenter = PngPresenter(args.out_dir, every=10) if args.out_dir else NullPresenter()
 
     if args.stdin_input:

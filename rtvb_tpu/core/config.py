@@ -42,11 +42,18 @@ class RenderingSettings:
     restir_temporal_samples: int = 3    # temporal taps (closesthit.cu:636)
     normal_mapping: bool = True         # procedural normal perturbation
     # authored image textures (data/textures/*.png via assets/image_textures,
-    # TextureManager.cu role).  Off by default: the MXU trilinear sampler
-    # costs ~2-4 ms/frame at 1080p where the procedural stack is ~free —
-    # the procedural bet stays the shipping default, this proves the
-    # ingestion path and quantifies the cost (docs/PROFILE.md).
-    authored_textures: bool = False
+    # TextureManager.cu role).  ON by default since r5: the demand-paged
+    # two-tier atlas kernel (512² base mips, 32 slots) samples at ~0.1 ms
+    # fixed + ~2 ms clustered cost, so the authored look ships as THE
+    # canonical (VERDICT r4 item 7); the procedural stack remains the
+    # secondary-vertex / fallback path.
+    authored_textures: bool = True
+    # picked-block edge highlight drawn in the realtime frame (the
+    # reference computes it every frame, VoxelEngine.cu:884-903, though its
+    # shader consumption sits behind `if (0)`, closesthit.cu:136-158; here
+    # it ships working).  Off by default so offline/canonical output is
+    # unchanged; the interactive app turns it on.
+    block_highlight: bool = False
     entity_shadows: bool = True         # entities block NEE visibility rays
     # entities visible in indirect bounces (reflections / GI): ON to match
     # the reference's IAS covering ALL geometry for ALL ray types
@@ -140,6 +147,10 @@ class PostProcessingSettings:
 @dataclass(frozen=True)
 class SkySettings:
     # GlobalSettings.h SkyParams + Sky.cu time-of-day driving.
+    # model: "hosek" = the reference's 10-channel Hosek–Wilkie spectral fit
+    # (Sky.cu:19-260 + SkyData.h) projected per sun position onto the RGB
+    # basis (render/sky_spectral.py); "preetham" = the pre-r5 analytic look.
+    model: str = "hosek"
     time_of_day: float = 10.0           # hours
     sun_axis_angle: float = 35.0        # degrees, sun rotation axis tilt
     turbidity: float = 2.5

@@ -230,6 +230,12 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
         yb = oy + dy * t1
         ylo = jnp.floor(jnp.minimum(ya, yb)).astype(jnp.int32)
         yhi = jnp.floor(jnp.maximum(ya, yb) - EPS).astype(jnp.int32)
+        # degenerate horizontal ray exactly on an integer y plane: the EPS
+        # pull-back makes yhi < ylo (empty range) even though the ray runs
+        # through voxel floor(y) by this codebase's floor convention —
+        # restore the single-voxel range (measure-zero case, but the
+        # gameplay pick ray is exactly horizontal at pitch 0)
+        yhi = jnp.maximum(yhi, ylo)
         # clamp out-of-world vertical range to empty
         ylo_cl = jnp.maximum(ylo, 0)
         yhi_cl = jnp.minimum(yhi, Y - 1)

@@ -79,6 +79,10 @@ class GBuffers(NamedTuple):
     motion_u: jnp.ndarray
     motion_v: jnp.ndarray
     emissive_first: jnp.ndarray   # primary hit was emissive / sky (denoiser skips)
+    # picked-block edge mask (VoxelEngine.cu:884-903 edgeToHighlight +
+    # closesthit.cu:136-158 segment-distance draw); None unless
+    # block_highlight was requested
+    highlight: jnp.ndarray = None
 
 
 class Reservoir(NamedTuple):
@@ -318,6 +322,53 @@ def _up(a):
     return jnp.repeat(jnp.repeat(a, 2, axis=0), 2, axis=1)
 
 
+def _picked_face_edges(vrec, p, t_hit, hit_now, cone_spread, H, W,
+                       max_dist: float = 8.0):
+    """Picked-block edge-highlight mask (H, W) float32 in {0, 1}.
+
+    The center pixel's voxel-only primary hit is the pick
+    (VoxelEngine.cu:879 performRayTraversal); its hit face's 4 corners are
+    the reference's ``edgeToHighlight`` quad (VoxelEngine.cu:884-903), and
+    each primary hit point is tested against the 4 edges by point-to-segment
+    distance (closesthit.cu:146-157), with the fixed 0.005 tolerance widened
+    to ~1.5 px of world-space footprint so the line stays ~1 px at any
+    distance.  Voxel (ix,iy,iz) spans the unit cube with corner (ix,iy,iz)
+    (ops/dda.py:166 floor convention)."""
+    cy, cx = H // 2, W // 2
+    pick = vrec.hit[cy, cx] & (vrec.t[cy, cx] < max_dist)
+    bcx = vrec.ix[cy, cx].astype(jnp.float32) + 0.5
+    bcy = vrec.iy[cy, cx].astype(jnp.float32) + 0.5
+    bcz = vrec.iz[cy, cx].astype(jnp.float32) + 0.5
+    nx0, ny0, nz0 = vrec.nx[cy, cx], vrec.ny[cy, cx], vrec.nz[cy, cx]
+    x_face = jnp.abs(nx0) > 0.5
+    y_face = jnp.abs(ny0) > 0.5
+    # face-plane tangents (axis aligned): ±x faces → (y, z); ±y → (x, z);
+    # ±z → (x, y)
+    t1 = (jnp.where(x_face, 0.0, 1.0), jnp.where(x_face, 1.0, 0.0),
+          jnp.zeros(()))
+    t2 = (jnp.zeros(()), jnp.where(x_face | y_face, 0.0, 1.0),
+          jnp.where(x_face | y_face, 1.0, 0.0))
+    fc = (bcx + 0.5 * nx0, bcy + 0.5 * ny0, bcz + 0.5 * nz0)
+    corners = []
+    for s1, s2 in ((-0.5, -0.5), (0.5, -0.5), (0.5, 0.5), (-0.5, 0.5)):
+        corners.append((fc[0] + s1 * t1[0] + s2 * t2[0],
+                        fc[1] + s1 * t1[1] + s2 * t2[1],
+                        fc[2] + s1 * t1[2] + s2 * t2[2]))
+    tol = jnp.maximum(0.006, t_hit * cone_spread * 1.5)
+    d2_min = jnp.full((H, W), BIG)
+    for k in range(4):
+        a, b = corners[k], corners[(k + 1) % 4]
+        ab = (b[0] - a[0], b[1] - a[1], b[2] - a[2])      # unit-length edge
+        pa = (p[0] - a[0], p[1] - a[1], p[2] - a[2])
+        s = jnp.clip(pa[0] * ab[0] + pa[1] * ab[1] + pa[2] * ab[2], 0.0, 1.0)
+        dx = pa[0] - s * ab[0]
+        dy = pa[1] - s * ab[1]
+        dz = pa[2] - s * ab[2]
+        d2_min = jnp.minimum(d2_min, dx * dx + dy * dy + dz * dz)
+    mask = hit_now & pick & (d2_min < tol * tol)
+    return mask.astype(jnp.float32)
+
+
 def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                  lights: LightTable, sky_state, cam: Camera, hist_cam: Camera,
                  frame_idx, width: int, height: int,
@@ -326,7 +377,7 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
                  prev_restir=None, light_remap=None,
                  entities: EntityBuffers | None = None,
                  atlas=None, shade_backend: str | None = None,
-                 half_res_gi: bool = False):
+                 half_res_gi: bool = False, block_highlight: bool = False):
     """One 1-spp path-traced frame producing denoiser-ready G-buffers.
 
     trace_fn(o, d, t_cap, any_hit) -> HitRecord, closed over world tables
@@ -400,6 +451,7 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
     g_depth = jnp.full((H, W), BIG)
     g_rough = jnp.ones((H, W))
     g_emissive = jnp.zeros((H, W), bool)
+    g_highlight = None
 
     sun_cos_max = sky_state.cos_sun_radius
     pdf_sun_cone = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - sun_cos_max), 1e-9)
@@ -433,6 +485,10 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         if bounce > 0:
             o, d = neutralize(o, d, alive)
         rec = trace_fn(o, d, t_cap=None, any_hit=False)
+        if bounce == 0 and block_highlight:
+            vrec0 = rec          # voxel-only primary record: the pick ignores
+                                 # entities (performRayTraversal traverses the
+                                 # voxel grid only, VoxelEngine.cu:879)
 
         # ---- entity/decoration triangles: brute-force composite hit ----
         test_ent = entities is not None and (bounce == 0 or rs_cfg.entity_in_bounces)
@@ -479,6 +535,17 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
             n = m.where3(is_ent, ent_n, n)
         p = m.add(o, m.scale(d, rec.t))
         wo = m.neg(d)
+
+        if bounce == 0 and block_highlight:
+            # picked-block edge highlight, fully in-frame: the center pixel's
+            # voxel hit IS the pick (camera-center DDA, VoxelEngine.cu:879),
+            # and every primary hit point is tested against the 4 edges of
+            # the picked face (closesthit.cu:146-157 PointToSegmentDistance,
+            # tolerance widened to ~1.5 px of world footprint).  A handful of
+            # fused VPU ops per pixel; no host round-trip, no extra wave.
+            g_highlight = _picked_face_edges(vrec0, p, rec.t, rec.hit,
+                                             cam.pixel_cone_spread(height),
+                                             H, W)
 
         from ..ops.gatherlib import fast_gather as _fgmi
         if rec.mi is not None:
@@ -890,5 +957,6 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         motion_u=g_motion_u,
         motion_v=g_motion_v,
         emissive_first=g_emissive | (g_depth >= BIG),
+        highlight=g_highlight,
     )
     return g, (new_restir if use_restir else None)

@@ -519,10 +519,14 @@ def compose_overlay(rgb, overlay_u8):
 
 def run(rgb_linear, state: PostState, pp: PostProcessingSettings,
         tm: ToneMappingSettings, dt, out_h: int, out_w: int,
-        overlay_u8=None):
+        overlay_u8=None, highlight=None):
     """(H, W, 3) linear HDR → (out_h, out_w, 3) display sRGB in [0,1].
     PostProcessor::run / PostProcessingPipeline::Execute equivalent.
-    overlay_u8: optional (out_h, out_w, 4) u8 UI overlay (RGBA)."""
+    overlay_u8: optional (out_h, out_w, 4) u8 UI overlay (RGBA).
+    highlight: optional (H, W) float mask — picked-block edge pixels forced
+    white in display space (the reference's UIBuffer write,
+    closesthit.cu:155-157), applied post-tonemap at internal res so the
+    upscaler carries it to the output."""
     if pp.auto_exposure:
         exp = auto_exposure(rgb_linear, state, pp, dt)
     else:
@@ -535,6 +539,9 @@ def run(rgb_linear, state: PostState, pp: PostProcessingSettings,
     if pp.vignette:
         x = vignette(x, pp)
     y = tone_map(x, tm, exp)
+    if highlight is not None:
+        hl = highlight[..., None]
+        y = y * (1.0 - hl) + hl
     if pp.upscale != "none":
         y = upscale(y, out_h, out_w, pp.upscale)
     if pp.sharpen:

@@ -585,11 +585,13 @@ class Engine:
                     prev_restir=prev_restir if use_restir else None,
                     light_remap=light_remap, entities=ent, atlas=atlas,
                     shade_backend=shade_backend,
-                    half_res_gi=rs_cfg.half_res_gi)
+                    half_res_gi=rs_cfg.half_res_gi,
+                    block_highlight=rs_cfg.block_highlight)
                 rgb, new_dstate = _denoise_jit(g, dstate, dn_cfg)
                 out, new_pstate = postprocess.run(rgb, post_state, pp, tm, dt,
                                                   out_h, out_w,
-                                                  overlay_u8=overlay)
+                                                  overlay_u8=overlay,
+                                                  highlight=g.highlight)
                 out_u8 = (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
                 return out_u8, new_restir, new_dstate, new_pstate
 

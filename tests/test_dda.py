@@ -246,3 +246,21 @@ def test_any_hit_agrees_with_closest_hit(world):
     np.testing.assert_array_equal(np.asarray(anyh.hit), np.asarray(full.hit))
     hits = np.asarray(full.hit)
     assert np.all(np.asarray(anyh.t)[hits] <= np.asarray(full.t)[hits] + 1e-4)
+
+
+def test_horizontal_ray_on_integer_y_plane(world):
+    """A ray with dy == 0 travelling exactly on an integer y plane must still
+    hit blocks in the y = floor(oy) layer (the gameplay pick ray is exactly
+    horizontal at pitch 0, and spawn heights are integers).  Regression for
+    the empty [ylo, yhi] range the EPS pull-back produced in this case."""
+    cfg, w = world
+    y = 18                      # above the terrain: only the placed block
+    w2 = voxel.set_block(cfg, w, 33, y, 10, 1)
+    p = trace_params(cfg)
+    o = tuple(jnp.asarray([v], jnp.float32) for v in (32.0, float(y), 8.0))
+    dn = np.array([0.45359609, 0.0, 0.8912074], np.float32)
+    d = tuple(jnp.asarray([v]) for v in dn)
+    rec = dda.trace(o, d, w2.colmask, w2.df_super[0], p,
+                    maxh_row=w2.maxh_super[0])
+    assert bool(rec.hit[0])
+    assert (int(rec.ix[0]), int(rec.iy[0]), int(rec.iz[0])) == (33, y, 10)

@@ -1,6 +1,7 @@
 """Graphical UI overlay: font/raster/screens + device compositor
 (ui/GameUIManager.cpp + DeveloperGUIOverlay.cpp + UIBuffer-compose roles)."""
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from rtvb_tpu import ui as ui_gfx
@@ -45,6 +46,37 @@ def test_menu_and_dev_panel_screens():
         "output": (1920, 1080), "cam": (1.0, 2.0, 3.0),
         "yaw": 0.5, "pitch": -0.2})
     assert (c.buf[..., 3] > 0).sum() > 1000
+
+
+@pytest.mark.slow
+def test_picked_block_edge_highlight():
+    """The picked block (camera-center ray) draws a white face-edge outline
+    in the realtime frame (VoxelEngine.cu:884-903 edgeToHighlight +
+    closesthit.cu:146-157 segment draw, shipped working here)."""
+    from rtvb_tpu.render.renderer import Engine
+    s = Settings().replace(rendering={"block_highlight": True})
+    eng = Engine(settings=s, width=96, height=96)
+    # plant a solid block ~3 units straight ahead at eye height so the pick
+    # is deterministic regardless of terrain.  The +0.45 lifts the eye off
+    # the integer y plane so the picked face is centered on the view (an
+    # integer-height eye grazes the face's bottom edge exactly)
+    eng.set_camera(pos=(float(eng.camera.pos_x),
+                        float(eng.camera.pos_y) + 0.45,
+                        float(eng.camera.pos_z)), pitch=0.0)
+    cam = eng.camera
+    d = np.asarray([float(v) for v in cam.uv_to_dir(jnp.float32(0.5),
+                                                    jnp.float32(0.5))])
+    p = np.asarray([float(cam.pos_x), float(cam.pos_y), float(cam.pos_z)])
+    tgt = np.floor(p + 3.0 * d).astype(int)
+    eng.set_block(int(tgt[0]), int(tgt[1]), int(tgt[2]), 1)
+    out = eng.render_realtime()
+    h, w = out.shape[:2]
+    c = out[h // 2 - 24: h // 2 + 24, w // 2 - 24: w // 2 + 24]
+    white = (c >= 250).all(axis=-1)
+    n_white = int(white.sum())
+    # a thin outline: present but nowhere near filling the window
+    assert n_white >= 8, f"no highlight pixels near center ({n_white})"
+    assert n_white < 24 * 24, f"highlight flood-filled ({n_white})"
 
 
 def test_compose_overlay_alpha():
