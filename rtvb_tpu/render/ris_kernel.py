@@ -267,10 +267,10 @@ def _fused_body(cfg: ShadeConfig, px, py, frame_u, sf,
     sun = (sf[sky_mod.SF_SUN_X], sf[sky_mod.SF_SUN_Y], sf[sky_mod.SF_SUN_Z])
     t_, bt_ = m.orthonormal_basis(sun)
     wi_sun = m.from_local(local, t_, bt_, sun)
-    mu = jnp.sqrt(jnp.maximum(0.0, 1.0 - u1 * u1))
-    limb = 0.4 + 0.6 * mu
-    le_sun = (sf[sky_mod.SF_SUN_R] * limb, sf[sky_mod.SF_SUN_G] * limb,
-              sf[sky_mod.SF_SUN_B] * limb)
+    # spectral limb darkening: exact degree-5 RGB polynomial in the limb
+    # sample cosine (sky_spectral.sun_rgb_poly; Sky.cu:238-251 role), fed by
+    # the cone sample's sine already in hand
+    le_sun = sky_mod.sun_radiance_scalars_cone(sin_t, sf)
     state = stream(state, wi_sun, jnp.full(shape, BIG), le_sun,
                    jnp.broadcast_to(sf[sky_mod.SF_PDF_SUN], shape), u_take,
                    KIND_SUN)
@@ -293,7 +293,8 @@ def _fused_body(cfg: ShadeConfig, px, py, frame_u, sf,
     sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
     wi_sky = (sin_t * jnp.cos(phi), cos_t, sin_t * jnp.sin(phi))
     pdf_sky = pmf * (1.0 / _ENV_OMEGA)
-    le_sky = sky_mod.sky_radiance_scalars(wi_sky, sf, rcp=rcp)
+    le_sky = sky_mod.sky_radiance_scalars(wi_sky, sf, rcp=rcp,
+                                          rsqrt=jax.lax.rsqrt)
     state = stream(state, wi_sky, jnp.full(shape, BIG), le_sky, pdf_sky,
                    u_take, KIND_SKY)
 
