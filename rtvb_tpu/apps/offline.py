@@ -50,10 +50,12 @@ def build_argparser():
     ap.add_argument("--test-remove-circle", action="store_true",
                     help="scripted: 8 camera directions x 5 deletions")
     ap.add_argument("--authored", action="store_true",
-                    help="render with authored PBR textures "
-                         "(rendering.authored_textures=True; pair with "
-                         "--canonical data/canonical/canonical_authored.png "
-                         "for the authored-canonical gate)")
+                    help="render with authored PBR textures (the r5 default "
+                         "— kept as an explicit no-op for older scripts)")
+    ap.add_argument("--procedural", action="store_true",
+                    help="render with the procedural texture stack "
+                         "(rendering.authored_textures=False; pair with "
+                         "--canonical data/canonical/canonical_procedural.png)")
     ap.add_argument("--realtime", action="store_true",
                     help="use the 1spp+denoiser path instead of accumulation")
     ap.add_argument("--save-all", action="store_true", help="save every frame")
@@ -110,6 +112,8 @@ def main(argv=None) -> int:
     rend = {"render_width": args.width, "render_height": args.height}
     if args.authored:
         rend["authored_textures"] = True
+    if args.procedural:
+        rend["authored_textures"] = False
     settings = settings.replace(rendering=rend)
     scene = SceneConfig.load(args.scene) if args.scene else SceneConfig()
 

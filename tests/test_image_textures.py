@@ -23,33 +23,57 @@ def _atlas():
 def test_load_atlas_shapes():
     atlas, names = _atlas()
     t = len(names)
-    assert atlas.planes.shape == (3, t * it.BLOCK_ROWS, it.S0)
+    assert atlas.hi.shape == (3, t * it.HI_ROWS, it.S0)
+    assert atlas.lo.shape == (3, t * it.LO_ROWS, it.LO_COLS)
     assert it.atlas_count(atlas) == t
     # linear albedo in [0, 1] (plane 0 carries r|g bf16 pairs)
-    r, g = unpack2(atlas.planes[0])
+    r, g = unpack2(atlas.hi[0])
     assert float(r.min()) >= 0.0 and float(r.max()) <= 1.0 + 1e-3
 
 
 def test_sample_matches_texels():
     """Sampling at texel centers (level 0) returns the stored texels for
-    every channel — albedo, normal deltas, roughness multiplier."""
+    every channel — albedo, normal deltas, roughness multiplier.  One
+    texture per call: mixing textures inside a demand-tier tile exercises
+    the seam fallback (covered by test_seam_texture_falls_back_to_tail)."""
     atlas, names = _atlas()
     t = len(names)
-    tid = jnp.asarray([[0, t - 1]], jnp.int32)
     x, y = 3, 5
     u = jnp.full((1, 2), (x + 0.5) / it.S0)
     v = jnp.full((1, 2), (y + 0.5) / it.S0)
-    out = it.sample_atlas(atlas, tid, u, v)
-    for col, ti in enumerate((0, t - 1)):
-        row = ti * it.BLOCK_ROWS + y
-        er, eg = (float(c) for c in unpack2(atlas.planes[0, row, x]))
-        eb, erg = (float(c) for c in unpack2(atlas.planes[1, row, x]))
-        edu, edv = (float(c) for c in unpack2(atlas.planes[2, row, x]))
-        got = [float(out.rgb[0][0, col]), float(out.rgb[1][0, col]),
-               float(out.rgb[2][0, col]), float(out.du[0, col]),
-               float(out.dv[0, col]), float(out.rough_mul[0, col])]
+    for ti in (0, t - 1):
+        tid = jnp.full((1, 2), ti, jnp.int32)
+        out = it.sample_atlas(atlas, tid, u, v)
+        row = ti * it.HI_ROWS + y          # level 0 lives in the hi tier
+        er, eg = (float(c) for c in unpack2(atlas.hi[0, row, x]))
+        eb, erg = (float(c) for c in unpack2(atlas.hi[1, row, x]))
+        edu, edv = (float(c) for c in unpack2(atlas.hi[2, row, x]))
+        got = [float(out.rgb[0][0, 0]), float(out.rgb[1][0, 0]),
+               float(out.rgb[2][0, 0]), float(out.du[0, 0]),
+               float(out.dv[0, 0]), float(out.rough_mul[0, 0])]
         np.testing.assert_allclose(got, [er, eg, eb, edu, edv, erg],
                                    atol=1e-5)
+
+
+def test_seam_texture_falls_back_to_tail():
+    """A tile spanning two textures at a demand-tier level samples its
+    smallest-id texture from the hi tier and the other from the
+    resident-tail pair (levels 3/4) — the documented seam compromise."""
+    atlas, names = _atlas()
+    if len(names) < 2:
+        pytest.skip("needs two textures")
+    u = jnp.full((1, 2), 0.37)
+    v = jnp.full((1, 2), 0.59)
+    mixed = it.sample_atlas(atlas, jnp.asarray([[0, 1]], jnp.int32), u, v)
+    # the secondary texture equals a pure level-3 sample of itself
+    pure_l3 = it.sample_atlas(atlas, jnp.full((1, 2), 1, jnp.int32), u, v,
+                              lod=jnp.full((1, 2), 8.0 / it.S0))   # level 3
+    np.testing.assert_allclose(float(mixed.rgb[0][0, 1]),
+                               float(pure_l3.rgb[0][0, 1]), atol=1e-5)
+    # the primary texture is exact level 0 (bilinear at centers)
+    pure_l0 = it.sample_atlas(atlas, jnp.full((1, 2), 0, jnp.int32), u, v)
+    np.testing.assert_allclose(float(mixed.rgb[0][0, 0]),
+                               float(pure_l0.rgb[0][0, 0]), atol=1e-5)
 
 
 def test_negative_id_passthrough_and_lod_blend():

@@ -97,16 +97,16 @@ def bless_flythrough():
     _report(os.path.join(CANON, "scripted", "flythrough_f16.png"), out)
 
 
-def bless_canonical_authored():
+def bless_canonical_procedural():
     from rtvb_tpu.core.config import Settings
     from rtvb_tpu.render.renderer import Engine
-    print("authored-PBR canonical 128² (8-frame accumulation)...")
-    s = Settings().replace(rendering={"authored_textures": True})
+    print("procedural-stack canonical 128² (8-frame accumulation)...")
+    s = Settings().replace(rendering={"authored_textures": False})
     eng = Engine(settings=s, width=128, height=128)
     out = None
     for _ in range(8):
         out = eng.render_accumulated()
-    _report(os.path.join(CANON, "canonical_authored.png"), out)
+    _report(os.path.join(CANON, "canonical_procedural.png"), out)
 
 
 def bless_character_reflection():
@@ -148,7 +148,7 @@ def bless_canonical_512():
 def main():
     full = "--full" in sys.argv
     bless_canonical_128()
-    bless_canonical_authored()
+    bless_canonical_procedural()
     bless_character_reflection()
     bless_scripted()
     bless_flythrough()

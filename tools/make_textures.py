@@ -3,7 +3,8 @@
 The reference ships ~60 hand-authored PNG block textures
 (/root/reference/data/textures, loaded by TextureManager.cu:222-240).  This
 repo cannot copy them, so this tool *authors* a compact set in their style —
-128x128 sRGB tiling albedo maps plus derived `_n` (tangent normal) and
+512x512 sRGB tiling albedo maps (assets/image_textures S0 base) plus
+derived `_n` (tangent normal) and
 `_r` (roughness-multiplier) planes — and commits the PNGs as data assets
 (materials.yaml:10-13 albedo/normal/roughness triple role).  The
 engine ingests them through assets/image_textures.load_atlas exactly as it
@@ -20,7 +21,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-S = 128
+S = 512
+F = S // 128     # pixel-constant scale vs the r4 128-px recipes
 
 
 def _hash01(ix, iy, seed):
@@ -47,7 +49,7 @@ def _noise(freq, seed):
     return (n00 * (1 - xf) + n10 * xf) * (1 - yf) + (n01 * (1 - xf) + n11 * xf) * yf
 
 
-def _fbm(freq, seed, octaves=3):
+def _fbm(freq, seed, octaves=5):
     out = np.zeros((S, S))
     amp, f, norm = 1.0, freq, 0.0
     for o in range(octaves):
@@ -77,11 +79,11 @@ def make_stone():
 
 def make_brick():
     gx, gy = np.meshgrid(np.arange(S), np.arange(S), indexing="xy")
-    row = gy // 16
-    bx = (gx + (row % 2) * 16) % 32
-    by = gy % 16
-    mortar = (bx < 2) | (by < 2)
-    shade = _hash01((gx + (row % 2) * 16) // 32, row, 17)[..., None]
+    row = gy // (16 * F)
+    bx = (gx + (row % 2) * 16 * F) % (32 * F)
+    by = gy % (16 * F)
+    mortar = (bx < 2 * F) | (by < 2 * F)
+    shade = _hash01((gx + (row % 2) * 16 * F) // (32 * F), row, 17)[..., None]
     brick = np.asarray((0.52, 0.19, 0.13)) * (0.8 + 0.4 * shade)
     out = np.where(mortar[..., None], np.asarray((0.62, 0.58, 0.54)), brick)
     return out * (0.85 + 0.3 * _fbm(16, 19)[..., None])
@@ -89,10 +91,10 @@ def make_brick():
 
 def make_planks():
     gx, gy = np.meshgrid(np.arange(S), np.arange(S), indexing="xy")
-    plank = gy // 16
+    plank = gy // (16 * F)
     grain = np.sin((gx / S + _fbm(4, 23) * 0.4 + plank * 0.37) * 28.0)
     base = _mix((0.42, 0.28, 0.13), (0.60, 0.42, 0.21), 0.5 + 0.5 * grain)
-    gap = (gy % 16) < 1
+    gap = (gy % (16 * F)) < F
     return _mix(base, (0.25, 0.16, 0.08), gap * 0.9)
 
 
