@@ -59,8 +59,11 @@ def build_argparser():
     ap.add_argument("--realtime", action="store_true",
                     help="use the 1spp+denoiser path instead of accumulation")
     ap.add_argument("--save-all", action="store_true", help="save every frame")
-    ap.add_argument("--perf-report", type=str,
-                    default=os.path.join(DATA_DIR, "perf", "performance_report.txt"))
+    ap.add_argument("--perf-report", type=str, default=None,
+                    help="append the run's stage rows to this ledger file "
+                         "(opt-in: ad-hoc CPU runs are compile-dominated "
+                         "noise and must not pollute the committed "
+                         "data/perf/performance_report.txt)")
     ap.add_argument("--label", type=str, default="offline run")
     ap.add_argument("--platform", type=str, default=None, choices=("cpu", "tpu"),
                     help="force a jax platform (goldens are CPU-rendered; "
@@ -147,7 +150,9 @@ def main(argv=None) -> int:
             print(f"[offline] frame {frame}/{args.frames}")
     image.write_pngs(batch_paths, batch_frames)
 
-    perf.save_report(args.perf_report, f"{args.label} {args.width}x{args.height}")
+    if args.perf_report:
+        perf.save_report(args.perf_report,
+                         f"{args.label} {args.width}x{args.height}")
     print("[offline]", perf.summary_row(args.label))
 
     if args.update_canonical:
