@@ -304,3 +304,36 @@ def test_character_textured_albedo():
     cols = np.round(alb[body] * 8) / 8.0
     uniq = np.unique(cols.reshape(-1, 3), axis=0)
     assert len(uniq) >= 3, uniq                # shirt / skin / pants at least
+
+
+def test_semantic_labeler_roundtrip_and_expand():
+    """Headless semantic texel labeler (tools/semantic_labeler.py — the
+    reference's meshlab/semantic_labeler GUI re-shaped as a library + CLI):
+    rect paint, JSON round-trip, color-similarity region expansion + undo."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import importlib
+    sl = importlib.import_module("semantic_labeler")
+
+    sm = sl.SemanticMap(size=16)
+    sm.paint_rect(2, 2, 6, 6, 3)
+    assert int((sm.map == 3).sum()) == 16
+
+    # texture: uniform patch around the seed, a distinct region elsewhere
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    rgb[:8, :8] = (100, 60, 40)
+    rgb[8:, 8:] = (10, 200, 10)
+    n = sm.expand_label(rgb, 3, threshold=25.0)
+    assert n > 0
+    # expansion filled the similar-color quadrant but not the green region
+    assert int(sm.map[:8, :8].sum()) == 3 * 64
+    assert int((sm.map[8:, 8:] == 3).sum()) == 0
+    assert sm.undo_expansion()
+    assert int((sm.map == 3).sum()) == 16
+
+    # JSON round-trip matches the reference format
+    d = sm.to_dict()
+    assert "labels" in d and "semantic_map" in d
+    back = sl.SemanticMap.from_dict(d)
+    np.testing.assert_array_equal(back.map, sm.map)
+    assert back.labels[1]["name"] == "Skin"
