@@ -337,3 +337,33 @@ def test_semantic_labeler_roundtrip_and_expand():
     back = sl.SemanticMap.from_dict(d)
     np.testing.assert_array_equal(back.map, sm.map)
     assert back.labels[1]["name"] == "Skin"
+
+
+def test_texture_upscaler_semantics():
+    """Semantic texture upscaler (tools/texture_upscaler.py): mapped labels
+    become material patches with the texel's hue transplanted; unmapped
+    labels stay flat color; output is F x the input resolution."""
+    import sys, os, importlib
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    tu = importlib.import_module("texture_upscaler")
+
+    n, f = 8, 8
+    skin = np.zeros((n, n, 3), np.uint8)
+    skin[:, :4] = (200, 40, 40)     # red cloth
+    skin[:, 4:] = (40, 40, 200)     # blue region, unmapped
+    sem = np.zeros((n, n), int)
+    sem[:, :4] = 3                  # Clothing
+    labels = {3: {"name": "Clothing", "color": "#4169E1"}}
+    rng = np.random.default_rng(0)
+    tex = (rng.uniform(80, 180, (16, 16, 3))).astype(np.uint8)
+    out = tu.upscale(skin, sem, labels, {"Clothing": "cloth"},
+                     {"cloth": tex}, f)
+    assert out.shape == (n * f, n * f, 3)
+    left = out[:, : 4 * f].astype(float)
+    right = out[:, 4 * f:].astype(float)
+    # unmapped region is the flat replicated texel color
+    assert np.ptp(right.reshape(-1, 3), axis=0).max() == 0
+    np.testing.assert_array_equal(right[0, 0], [40, 40, 200])
+    # mapped region: red-dominant (hue transplanted) but textured (varying)
+    assert left[..., 0].mean() > left[..., 2].mean() + 20
+    assert np.ptp(left[..., 0]) > 10
