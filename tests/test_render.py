@@ -253,3 +253,22 @@ def test_light_variant_warmup_prevents_recompile():
     assert eng._n_lights > 0
     assert eng._frame_fn() is eng._compiled[key]
     eng.render_realtime()          # must not raise
+
+
+def test_batched_dispatch_matches_sequential():
+    """render_realtime_device_batch(2) advances the same estimator as two
+    sequential frames (CUDA-Graphs-role dispatch batching): same RNG
+    stream (frame_idx0 + k), same temporal state threading."""
+    import jax
+    s = Settings()
+    eng_a = Engine(settings=s, width=64, height=64)
+    eng_b = Engine(settings=s, width=64, height=64)
+    seq = [np.asarray(eng_a.render_realtime()) for _ in range(2)]
+    outs = np.asarray(jax.device_get(eng_b.render_realtime_device_batch(2)))
+    assert outs.shape[0] == 2
+    for k in range(2):
+        diff = np.abs(outs[k].astype(int) - seq[k].astype(int))
+        # same estimator; scan-vs-straightline fusion may flip a few ULPs
+        # through the u8 quantizer
+        assert float((diff > 2).mean()) < 0.01, (k, float(diff.mean()))
+    assert eng_b.frame_index == 2
