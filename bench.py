@@ -54,10 +54,10 @@ BATCH = int(os.environ.get("BENCH_BATCH", "8"))
 
 def measure(eng, frames: int) -> float:
     """Steady-state frame time.  Dispatches BATCH frames per jit call
-    (renderer.render_realtime_device_batch — the CUDA-Graphs role): on this
-    tunneled host a dispatch costs ~8-9 ms of RPC against ~7 ms of device
-    work at the settled rung, so per-frame dispatch would measure the
-    tunnel, not the renderer.  BENCH_BATCH=1 restores per-frame dispatch."""
+    (renderer.render_realtime_device_batch — the CUDA-Graphs role): the
+    tunneled host's dispatch RPC adds ~1.2 ms/frame to per-frame
+    submission at the settled rung; batching measures the renderer, not
+    the tunnel.  BENCH_BATCH=1 restores per-frame dispatch."""
     if BATCH > 1:
         jax.block_until_ready(eng.render_realtime_device_batch(BATCH))
         jax.block_until_ready(eng.render_realtime_device_batch(BATCH))

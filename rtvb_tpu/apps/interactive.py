@@ -522,7 +522,14 @@ def main(argv=None):
     ap.add_argument("--stdin-input", action="store_true",
                     help="drive the session from stdin key commands "
                          "(see StdinInputSource; default: scripted flythrough)")
+    ap.add_argument("--platform", type=str, default=None,
+                    choices=("cpu", "tpu"),
+                    help="force a jax platform (headless CPU smoke runs; "
+                         "note: the axon plugin ignores JAX_PLATFORMS env)")
     args = ap.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
 
     settings = Settings().replace(rendering={
         "render_width": args.width, "render_height": args.height,
