@@ -158,6 +158,17 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
     t_exit = jnp.minimum(jnp.minimum(txo, tzo), tyo)
     if t_cap is not None:
         t_exit = jnp.minimum(t_exit, t_cap)
+    if maxh_row is not None:
+        # Global-envelope exit cap: an ASCENDING ray can never hit anything
+        # once it climbs past the world's tallest voxel, so its effective
+        # exit is where it crosses y = max(maxh).  This retires the
+        # straggler lanes (unoccluded sun-shadow rays, sky rays) in O(1)
+        # instead of one supercell-skip step per cell — they were what kept
+        # whole tiles alive in the any-hit shadow wave (the biggest trace
+        # op in the round-5 2/3-rung device trace, 3.3 ms listed).
+        maxh_g = jnp.max(maxh_row).astype(f32)
+        t_gm = (maxh_g - oy) * inv_dy
+        t_exit = jnp.where(dy > EPS, jnp.minimum(t_exit, t_gm), t_exit)
     miss_from_start = t_enter >= t_exit
 
     t = t_enter + EPS

@@ -32,15 +32,50 @@ TILE = 256
 
 
 # NOTE: a range-bounded column gather (fori_loop over min..max of idx>>7
-# with dynamic sublane loads) was measured SLOWER than the unrolled 32-row
-# select loop on v5e (incoherent waves 17→24 ms): Mosaic's dynamic-bound
-# loop + per-iteration dynamic sublane slice costs more per row than the
-# static shuffle+select.  Keeping the oblivious table_gather.
+# with dynamic sublane loads OR dynamic VMEM-ref row loads) was measured
+# SLOWER than the unrolled static select loop on v5e (incoherent waves
+# 17→24 ms round 3; re-tried round 5 with ref row loads: shadow wave
+# 3.3→13.9 ms listed).  Mosaic's dynamic-bound loop costs far more per row
+# than the static shuffle+select.  Instead the per-step fetch below uses a
+# 4×-packed HEIGHT byte table for the (ubiquitous) pure-heightfield
+# columns — see _pack_heights.
+
+
+def _pack_heights(colmask2d):
+    """Per-column height bytes, 4 columns per u32 word: (R, 128) colmask →
+    (R/4, 128) packed table.
+
+    A column whose occupancy is a pure heightfield (mask == (1<<h)-1) is
+    fully described by its height h ∈ [0, 32]; byte 255 flags the
+    irregular remainder (overhangs, player-carved caves), which falls back
+    to the exact mask gather in-kernel.  The per-step column fetch is the
+    trace loop's hottest sequence — the packed table needs R/4 lane
+    shuffles instead of R (R = 32 for the 64×64 world)."""
+    R = colmask2d.shape[0]
+    cm = colmask2d
+    h = jnp.zeros(cm.shape, jnp.int32)
+    b = cm
+    for shift in (16, 8, 4, 2, 1):
+        big = (b >> jnp.uint32(shift)) != 0
+        h = h + jnp.where(big, shift, 0)
+        b = jnp.where(big, b >> jnp.uint32(shift), b)
+    h = jnp.where(cm != 0, h + 1, 0)
+    full = jnp.uint32(0xFFFFFFFF)
+    synth = jnp.where(h >= 32, full,
+                      (jnp.uint32(1) << jnp.clip(h, 0, 31).astype(jnp.uint32))
+                      - jnp.uint32(1))
+    hb = jnp.where(synth == cm, h, 255).astype(jnp.uint32)
+    # byte-pack: flat column c = r*128 + 4q + k → packed word pc = c >> 2
+    # at row pc>>7 = r>>2, lane (r&3)*32 + q, byte k (little-endian)
+    hb = hb.reshape(R, 32, 4)
+    w = (hb[:, :, 0] | (hb[:, :, 1] << 8) | (hb[:, :, 2] << 16)
+         | (hb[:, :, 3] << 24))                      # (R, 32)
+    return w.reshape(R // 4, LANES)
 
 
 def _make_kernel(p: dda.TraceParams, any_hit: bool, with_meta: bool,
                  with_mat: bool = False, n_exc: int = 0):
-    def kernel(ox, oy, oz, dx, dy, dz, tcap, colmask, dfrow, maxhrow,
+    def kernel(ox, oy, oz, dx, dy, dz, tcap, colmask, htab, dfrow, maxhrow,
                schema, excmask, *rest):
         if with_mat:
             exc_key, exc_id, b2m, fields = rest[:4]
@@ -49,11 +84,31 @@ def _make_kernel(p: dda.TraceParams, any_hit: bool, with_meta: bool,
             outs = rest
         o = (ox[:], oy[:], oz[:])
         d = (dx[:], dy[:], dz[:])
+
+        def col_gather(idx):
+            # height-byte fast path: R/4-row gather + byte extract, exact
+            # word synthesis for heightfield columns; tile-uniform fallback
+            # to the full mask gather when any lane touches an irregular
+            # column (rare: player-carved overhangs)
+            pw = table_gather(htab[:], jnp.right_shift(idx, 2))
+            sh = (jnp.bitwise_and(idx, 3) << 3).astype(jnp.uint32)
+            h = (pw >> sh) & jnp.uint32(0xFF)
+            full = jnp.uint32(0xFFFFFFFF)
+            word = jnp.where(
+                h >= 32, full,
+                (jnp.uint32(1) << h) - jnp.uint32(1))
+            irr = h == 255
+            return jax.lax.cond(
+                jnp.any(irr),
+                lambda: jnp.where(irr, table_gather(colmask[:], idx), word),
+                lambda: word)
+
         rec = dda.trace(
             o, d, colmask[:], dfrow[0, :], p,
             t_cap=tcap[:], any_hit=any_hit,
             gather=table_gather,
             row_gather=lambda row, idx: lane_gather(row, idx),
+            col_gather=col_gather,
             maxh_row=maxhrow[0, :],
             schema2d=schema[:] if (with_meta or with_mat) else None,
             excmask2d=excmask[:] if (with_meta or with_mat) else None,
@@ -111,7 +166,7 @@ N_MAT_FIELDS = 11   # albedo rgb, emissive rgb, rough, metal, trans, tex, uv
 
 @partial(jax.jit, static_argnames=("p", "any_hit", "with_meta", "with_mat",
                                    "tile_r"))
-def _trace_tiles(ox, oy, oz, dx, dy, dz, tcap, colmask, dfrow, maxhrow,
+def _trace_tiles(ox, oy, oz, dx, dy, dz, tcap, colmask, htab, dfrow, maxhrow,
                  schema, excmask, exc_key, exc_id, b2m, fields,
                  p: dda.TraceParams, any_hit: bool,
                  with_meta: bool, with_mat: bool, tile_r: int = TILE):
@@ -137,10 +192,11 @@ def _trace_tiles(ox, oy, oz, dx, dy, dz, tcap, colmask, dfrow, maxhrow,
                   out(jnp.float32), out(jnp.float32)]
     if with_meta:
         out_shapes += [out(jnp.int32), out(jnp.int32)]
-    in_specs = [tile_spec] * 7 + [full_spec(colmask), full_spec(dfrow),
+    in_specs = [tile_spec] * 7 + [full_spec(colmask), full_spec(htab),
+                                  full_spec(dfrow),
                                   full_spec(maxhrow), full_spec(schema),
                                   full_spec(excmask)]
-    args = [ox, oy, oz, dx, dy, dz, tcap, colmask, dfrow, maxhrow,
+    args = [ox, oy, oz, dx, dy, dz, tcap, colmask, htab, dfrow, maxhrow,
             schema, excmask]
     n_exc = 0
     if with_mat:
@@ -260,7 +316,8 @@ def trace(o, d, colmask2d, df_row, p: dda.TraceParams, t_cap=None,
     outs = _trace_tiles(
         prep(ox), prep(oy, fill=1e4), prep(oz),
         prep(dx), prep(dy, fill=1.0), prep(dz), prep(tcap),
-        colmask2d, df_row.reshape(1, LANES), maxh_row.reshape(1, LANES),
+        colmask2d, _pack_heights(colmask2d),
+        df_row.reshape(1, LANES), maxh_row.reshape(1, LANES),
         schema2d, excmask2d.astype(jnp.uint32),
         exc_key2d, exc_id2d, b2m_row, fields,
         p, any_hit, with_meta, with_mat, tile_r)

@@ -190,7 +190,15 @@ def build_super_maxh(cfg: WorldConfig, colmask_rows):
     flat = hs.reshape(-1).astype(jnp.int32)
     pad = LANES - flat.shape[0]
     if pad:
-        flat = jnp.concatenate([flat, jnp.full((pad,), cfg.y, jnp.int32)])
+        # Pad with the WORLD max height, not cfg.y: still an upper bound for
+        # any cell a clipped out-of-range sidx can land on (skips stay
+        # conservative), but it keeps max(maxh_row) == the real envelope so
+        # the tracer's global ascending-ray exit cap (ops/dda.py) retires
+        # unoccluded sun-shadow / sky rays in O(1) instead of climbing to
+        # the world top (cfg.y padding made the global cap vacuous: the
+        # terrain tops out ~11 of 32).
+        flat = jnp.concatenate([flat, jnp.full((pad,), 1, jnp.int32) *
+                                jnp.max(flat)])
     return flat.reshape(1, LANES)
 
 
