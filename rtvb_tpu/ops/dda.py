@@ -225,7 +225,7 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
     def cond(s):
         return (s["step"] < p.max_steps) & jnp.any(s["alive"] != 0)
 
-    def body(s):
+    def _body_core(s):
         alive = s["alive"] != 0
         prev_hit = s["hit"] != 0
         t0 = s["t"]
@@ -343,6 +343,14 @@ def trace(o, d, colmask2d, df_row, p: TraceParams, t_cap=None, any_hit: bool = F
                 hit_axis=jnp.where(new_hit, axis, s["hit_axis"]),
             )
         return out
+
+    def body(s):
+        # 2x unrolled: two exact DDA sub-steps per while iteration.  A
+        # sub-step on an all-done state is a masked no-op, so results are
+        # bit-identical to the rolled loop; what it saves is the per-
+        # iteration loop tax (tile-wide any(alive) reduce + branch in
+        # Mosaic), which is a fixed cost per column marched.
+        return _body_core(_body_core(s))
 
     s = jax.lax.while_loop(cond, body, state)
 
